@@ -1,0 +1,124 @@
+"""Voxel-grid machinery on device: sort-based grouping with static shapes.
+
+The reference stack voxelizes clouds on CPU with pointer-chasing hash grids
+(mp2p_icp_filters voxel filters; knobs at reference
+params/kitti-default.yaml:23-32). Pointer-chasing doesn't map to TPU, so the
+TPU-native formulation is **sort-then-segment**:
+
+1. quantize points to integer cells,
+2. lexicographically sort points by cell key (``lax.sort`` with two int32
+   keys — avoids int64, which JAX keeps disabled by default),
+3. mark first-occurrences → contiguous segment ids,
+4. compute per-voxel statistics with ``segment_sum`` (count/mean/covariance)
+   at a static ``num_segments``.
+
+Everything is fixed-shape and jit-safe; invalid (padding) points sort to the
+end and land in a trash segment.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# 15 bits per x/y cell coordinate so key1 = ix*2^15 + iy stays inside int32.
+_COORD_BITS = 15
+_COORD_MAX = (1 << _COORD_BITS) - 1
+_KEY_INVALID = jnp.iinfo(jnp.int32).max
+
+
+def voxel_coords(xyz: jax.Array, res: float | jax.Array, origin: jax.Array) -> jax.Array:
+    """Integer cell coordinates [...,N,3] (int32) of points on a grid of
+    pitch ``res`` anchored at ``origin``."""
+    return jnp.floor((xyz - origin) / res).astype(jnp.int32)
+
+
+class VoxelSort(NamedTuple):
+    """Result of :func:`lex_sort_by_voxel`."""
+
+    order: jax.Array        # i32[N]  permutation: sorted position -> original index
+    xyz: jax.Array          # f32[N,3] points in sorted order
+    mask: jax.Array         # f32[N]   mask in sorted order
+    first: jax.Array        # f32[N]   1.0 where a new voxel starts (valid points only)
+    seg_id: jax.Array       # i32[N]   contiguous voxel index per sorted point
+    num_voxels: jax.Array   # i32[]    number of occupied voxels
+
+
+def lex_sort_by_voxel(xyz: jax.Array, mask: jax.Array, res) -> VoxelSort:
+    """Sort a padded cloud by voxel cell (lexicographic over x,y,z cells).
+
+    The grid origin is the masked minimum corner, so cell coordinates are
+    non-negative and fit the 15-bit packing for any cloud extent up to
+    ``res * 32768`` (e.g. 0.5 m res → 16 km — far beyond one scan).
+    """
+    big = jnp.asarray(1e9, xyz.dtype)
+    masked = jnp.where(mask[..., None] > 0.5, xyz, big)
+    origin = jnp.min(masked, axis=-2, keepdims=True) - 0.5 * res
+    cells = voxel_coords(xyz, res, origin)
+    cells = jnp.clip(cells, 0, _COORD_MAX)
+
+    key1 = cells[..., 0] * (1 << _COORD_BITS) + cells[..., 1]
+    key2 = cells[..., 2]
+    invalid = mask < 0.5
+    key1 = jnp.where(invalid, _KEY_INVALID, key1)
+    key2 = jnp.where(invalid, _KEY_INVALID, key2)
+
+    n = xyz.shape[-2]
+    idx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[..., 0], key1.shape
+    )
+    k1s, k2s, order = jax.lax.sort((key1, key2, idx), num_keys=2)
+
+    xyz_s = jnp.take_along_axis(xyz, order[..., None], axis=-2)
+    mask_s = jnp.take_along_axis(mask, order, axis=-1)
+
+    prev1 = jnp.roll(k1s, 1, axis=-1)
+    prev2 = jnp.roll(k2s, 1, axis=-1)
+    is_new = (k1s != prev1) | (k2s != prev2)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[..., 0] == 0
+    is_new = is_new | pos0
+    first = jnp.where(mask_s > 0.5, is_new.astype(xyz.dtype), 0.0)
+
+    seg_id = jnp.cumsum(first, axis=-1).astype(jnp.int32) - 1
+    seg_id = jnp.where(mask_s > 0.5, seg_id, n)  # padding → out-of-range trash id
+    num_voxels = jnp.sum(first, axis=-1).astype(jnp.int32)
+    return VoxelSort(order, xyz_s, mask_s, first, seg_id, num_voxels)
+
+
+class VoxelStats(NamedTuple):
+    """Per-voxel statistics at static capacity ``S`` (= num_segments)."""
+
+    count: jax.Array  # f32[S]
+    mean: jax.Array   # f32[S,3]
+    cov: jax.Array    # f32[S,3,3]
+    valid: jax.Array  # f32[S]  1.0 for occupied voxels
+
+
+def voxel_segments(vs: VoxelSort, num_segments: int) -> jax.Array:
+    """Segment ids with a dedicated trash slot at ``num_segments`` for both
+    padding and capacity-overflow voxels."""
+    return jnp.minimum(vs.seg_id, num_segments)
+
+
+def voxel_stats(vs: VoxelSort, num_segments: int) -> VoxelStats:
+    """Count/mean/covariance per voxel via masked segment sums.
+
+    Internally uses ``num_segments + 1`` slots — the extra slot absorbs
+    padding points and voxels past capacity — and drops it on return, so no
+    real voxel is ever clobbered by the trash segment.
+    """
+    seg = voxel_segments(vs, num_segments)
+    total = num_segments + 1
+    w = vs.mask
+    count = jax.ops.segment_sum(w, seg, num_segments=total)
+    sum_x = jax.ops.segment_sum(vs.xyz * w[..., None], seg, num_segments=total)
+    outer = vs.xyz[..., :, None] * vs.xyz[..., None, :] * w[..., None, None]
+    sum_xx = jax.ops.segment_sum(outer, seg, num_segments=total)
+    count, sum_x, sum_xx = count[..., :-1], sum_x[..., :-1, :], sum_xx[..., :-1, :, :]
+    safe_n = jnp.maximum(count, 1.0)
+    mean = sum_x / safe_n[..., None]
+    cov = sum_xx / safe_n[..., None, None] - mean[..., :, None] * mean[..., None, :]
+    valid = (count > 0.5).astype(vs.xyz.dtype)
+    return VoxelStats(count, mean, cov, valid)

@@ -1,0 +1,74 @@
+"""Closed-form symmetric 3×3 eigen-decomposition, batched and TPU-friendly.
+
+Replaces the per-voxel covariance eigenanalysis the reference stack does on
+CPU (mp2p_icp's plane fitting for ``Matcher_Point2Plane`` with
+``planeEigenThreshold`` — reference params/icp-settings-regular.yaml:33-39 —
+and the edge/plane voxel classifier knobs at
+reference params/kitti-default.yaml:23-32).
+
+TPU-first design: ``jnp.linalg.eigh`` lowers to an iterative QR sweep that
+serializes badly for huge batches of tiny matrices. Instead we use the
+analytic (Cardano/trigonometric) solution — pure element-wise VPU math that
+vmaps/fuses for free — and recover the eigenvector of the smallest
+eigenvalue (the plane normal) from the column space of
+``(A-λ1 I)(A-λ2 I)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def sym_eigenvalues_3x3(A: jax.Array) -> jax.Array:
+    """Eigenvalues of symmetric [..., 3, 3] matrices, ascending [..., 3].
+
+    Trigonometric method (Smith 1961): exact for symmetric 3×3; all
+    element-wise ops, so arbitrarily batched.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p_sq = (b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p_sq, _EPS))
+
+    # det(B)/2 with B = (A - qI)
+    det_b = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(det_b / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    e2 = q + 2.0 * p * jnp.cos(phi)
+    e0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e1 = 3.0 * q - e0 - e2
+    return jnp.stack([e0, e1, e2], axis=-1)
+
+
+def smallest_eigenvector_3x3(A: jax.Array, eigenvalues: jax.Array | None = None) -> jax.Array:
+    """Unit eigenvector for the smallest eigenvalue of symmetric [...,3,3].
+
+    Uses the fact that for eigenvalues λ0 ≤ λ1 ≤ λ2, every column of
+    ``(A - λ1 I)(A - λ2 I)`` lies in the λ0 eigenspace; we take the
+    largest-norm column for conditioning. Degenerate (isotropic) inputs
+    fall back to +z.
+    """
+    if eigenvalues is None:
+        eigenvalues = sym_eigenvalues_3x3(A)
+    e0, e1, e2 = eigenvalues[..., 0], eigenvalues[..., 1], eigenvalues[..., 2]
+    I = jnp.eye(3, dtype=A.dtype)
+    B = (A - e1[..., None, None] * I) @ (A - e2[..., None, None] * I)
+    norms = jnp.sum(B * B, axis=-2)  # squared column norms [..., 3]
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(B, best[..., None, None], axis=-1)[..., 0]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ok = n[..., 0] > 1e-9
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=A.dtype), v.shape)
+    v = jnp.where(ok[..., None], v / jnp.where(ok[..., None], n, 1.0), fallback)
+    return v
