@@ -1,0 +1,98 @@
+"""ICP engine configuration — static, hashable dataclasses.
+
+Mirrors the pluggable stage stack of the reference's mp2p_icp config
+(reference params/icp-settings-regular.yaml: ``params`` / ``solvers`` /
+``matchers`` / ``quality`` blocks, loaded at reference
+src/LidarOdometry.cpp:57-88) as frozen dataclasses. Frozen + hashable means
+a params object can be a **static jit argument**: each distinct ICP
+configuration compiles once and specializes fully (branch-free kernels).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+class AlignKind(enum.Enum):
+    """The three ICP cases of the front-end (reference
+    include/mola-fe-lidar/LidarOdometry.h:45-50 and the per-case param sets
+    at src/LidarOdometry.cpp:122-128)."""
+
+    LIDAR_ODOMETRY = "lidar_odometry"   # consecutive scans, twist prior
+    NEARBY_ALIGN = "nearby_align"       # non-adjacent keyframes
+    LOOP_CLOSURE = "loop_closure"       # Monte-Carlo perturbed wide search
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """One correspondence stage (reference Matcher_Point2Plane block,
+    params/icp-settings-regular.yaml:32-39).
+
+    kinds:
+      - ``point2point``          1-NN pairing
+      - ``point2plane_knn``      kNN neighborhood eigen-fit per iteration
+                                 (reference-parity behavior)
+      - ``point2plane_normals``  1-NN + precomputed target normals/planarity
+                                 attrs (fast path; normals from the filter
+                                 pipeline's voxel eigenanalysis)
+    ``run_up_to_iteration == 0`` means "no upper bound", matching the
+    reference convention (runFromIteration/runUpToIteration).
+    """
+
+    kind: str = "point2point"
+    src_layer: str = "raw"
+    tgt_layer: str = "raw"
+    distance_threshold: float = 0.70
+    knn: int = 6
+    plane_eigen_threshold: float = 0.07
+    run_from_iteration: int = 0
+    run_up_to_iteration: int = 0
+
+
+@dataclass(frozen=True)
+class PairWeights:
+    """Pairing-weight options (reference ``pairingsWeightParameters``,
+    params/icp-settings-regular.yaml:14-21)."""
+
+    use_scale_outlier_detector: bool = True
+    scale_outlier_threshold: float = 1.1
+    use_robust_kernel: bool = False
+    robust_kernel: str = "cauchy"
+    robust_kernel_param: float = 0.1
+    robust_kernel_scale: float = 400.0
+
+
+@dataclass(frozen=True)
+class Solver:
+    """Solver stage (reference Solver_GaussNewton, maxIterations: 20)."""
+
+    kind: str = "gauss_newton"  # or "horn" (closed-form point-to-point)
+    max_iterations: int = 20
+    damping: float = 1e-6
+
+
+@dataclass(frozen=True)
+class Quality:
+    """Quality stage (reference QualityEvaluator_PairedRatio @ 0.10 m)."""
+
+    kind: str = "paired_ratio"
+    threshold_distance: float = 0.10
+    src_layer: str = "raw"
+    tgt_layer: str = "raw"
+
+
+@dataclass(frozen=True)
+class ICPParams:
+    """One full ICP case (reference mp2p_icp::Parameter block:
+    maxIterations: 100, minAbsStep_trans: 5e-5, minAbsStep_rot: 1e-5)."""
+
+    max_iterations: int = 100
+    min_abs_step_trans: float = 5e-5
+    min_abs_step_rot: float = 1e-5
+    matchers: Tuple[Matcher, ...] = (Matcher(),)
+    solver: Solver = field(default_factory=Solver)
+    quality: Tuple[Quality, ...] = (Quality(),)
+    weights: PairWeights = field(default_factory=PairWeights)
+    nn_tile: int = 512
