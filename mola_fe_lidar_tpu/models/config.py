@@ -96,3 +96,7 @@ class ICPParams:
     quality: Tuple[Quality, ...] = (Quality(),)
     weights: PairWeights = field(default_factory=PairWeights)
     nn_tile: int = 512
+    # When set, the engine runs tensor-parallel: target clouds are sharded
+    # on the point axis over this mesh axis name (use inside shard_map —
+    # see parallel.distributed). None = single-device semantics.
+    shard_axis: str | None = None

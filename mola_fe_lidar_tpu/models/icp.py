@@ -74,24 +74,39 @@ def _matcher_active(m: Matcher, it: jax.Array) -> jax.Array:
     return act.astype(jnp.float32)
 
 
-def _match_one(m: Matcher, pose, it, src_map: MetricMap, tgt_map: MetricMap, tile: int) -> _Pairings:
+def _match_one(
+    m: Matcher, pose, it, src_map: MetricMap, tgt_map: MetricMap,
+    tile: int, shard_axis: str | None,
+) -> _Pairings:
     src = src_map[m.src_layer]
     tgt = tgt_map[m.tgt_layer]
     sp = se3.transform(pose, src.xyz)
     act = _matcher_active(m, it)
 
+    # Dispatch single-device vs tensor-parallel (target point axis sharded)
+    if shard_axis is None:
+        nn1 = lambda: matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
+        nnk = lambda: matching_ops.knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn, tile=tile)
+        gather = lambda arr, idx: jnp.take(arr, idx, axis=-2)
+    else:
+        nn1 = lambda: matching_ops.tp_nearest_neighbors(
+            sp, src.mask, tgt.xyz, tgt.mask, shard_axis, tile=tile)
+        nnk = lambda: matching_ops.tp_knn(
+            sp, src.mask, tgt.xyz, tgt.mask, m.knn, shard_axis, tile=tile)
+        gather = lambda arr, idx: matching_ops.tp_gather_points(arr, idx, shard_axis)
+
     if m.kind == "point2point":
-        nn = matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
-        q = jnp.take(tgt.xyz, nn.idx, axis=-2)
+        nn = nn1()
+        q = gather(tgt.xyz, nn.idx)
         w = src.mask * (nn.dist < m.distance_threshold) * act
         return _Pairings(src.xyz, q, jnp.zeros_like(q), w, False)
 
     if m.kind == "point2plane_normals":
-        nn = matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
-        q = jnp.take(tgt.xyz, nn.idx, axis=-2)
-        normals = jnp.take(tgt.attrs["normal"], nn.idx, axis=-2)
+        nn = nn1()
+        q = gather(tgt.xyz, nn.idx)
+        normals = gather(tgt.attrs["normal"], nn.idx)
         gate = (
-            jnp.take(tgt.attrs["planarity"], nn.idx, axis=-2)[..., 0]
+            gather(tgt.attrs["planarity"], nn.idx)[..., 0]
             if "planarity" in tgt.attrs
             else jnp.ones_like(nn.dist)
         )
@@ -99,8 +114,8 @@ def _match_one(m: Matcher, pose, it, src_map: MetricMap, tgt_map: MetricMap, til
         return _Pairings(src.xyz, q, normals, w, True)
 
     if m.kind == "point2plane_knn":
-        nn = matching_ops.knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn, tile=tile)
-        neigh = jnp.take(tgt.xyz, nn.idx, axis=-2)  # [N,k,3]
+        nn = nnk()
+        neigh = gather(tgt.xyz, nn.idx)  # [N,k,3]
         valid = (nn.dist < 1e9).astype(sp.dtype)  # [N,k]
         cnt = jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
         centroid = jnp.sum(neigh * valid[..., None], axis=-2) / cnt[..., None]
@@ -156,7 +171,9 @@ def _gather(pose, it, src_map, tgt_map, params: ICPParams):
     p2p_rows = []
     for m in params.matchers:
         pr = _apply_pair_weights(
-            _match_one(m, pose, it, src_map, tgt_map, params.nn_tile), pose, params
+            _match_one(m, pose, it, src_map, tgt_map, params.nn_tile,
+                       params.shard_axis),
+            pose, params,
         )
         if pr.is_plane:
             plane_rows.append(pr)
@@ -200,7 +217,11 @@ def _quality(pose, src_map, tgt_map, params: ICPParams, tile: int) -> jax.Array:
         src = src_map[qc.src_layer]
         tgt = tgt_map[qc.tgt_layer]
         sp = se3.transform(pose, src.xyz)
-        nn = matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
+        if params.shard_axis is None:
+            nn = matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
+        else:
+            nn = matching_ops.tp_nearest_neighbors(
+                sp, src.mask, tgt.xyz, tgt.mask, params.shard_axis, tile=tile)
         vals.append(quality_mod.paired_ratio(nn.dist, src.mask, qc.threshold_distance))
     return functools.reduce(jnp.add, vals) / len(vals)
 

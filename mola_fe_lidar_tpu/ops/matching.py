@@ -156,3 +156,82 @@ def knn(
     (best_d, best_i), _ = jax.lax.scan(body, init, (tile_ids, tgt_tiles, tgt_mask_tiles))
     best_d = jnp.where(src_mask[:, None] > 0.5, best_d, _BIG)
     return NNResult(best_i, jnp.sqrt(jnp.maximum(best_d, 0.0)))
+
+
+# --------------------------------------------------------------------------
+# Tensor-parallel variants: target point axis sharded across a mesh axis
+# (SURVEY.md §2c TP row: shard the M-axis of one huge cloud's NN search with
+# shard_map; the cross-shard argmin-reduction rides ICI collectives).
+# Call these inside ``shard_map`` with ``tgt``/``tgt_mask`` sharded on the
+# point axis and ``src`` replicated.
+# --------------------------------------------------------------------------
+
+def tp_nearest_neighbors(
+    src: jax.Array,
+    src_mask: jax.Array,
+    tgt_shard: jax.Array,
+    tgt_mask_shard: jax.Array,
+    axis_name: str,
+    tile: int = 512,
+) -> NNResult:
+    """1-NN where each device holds a shard of the target cloud.
+
+    Local streaming argmin per shard, then a tiny ``all_gather`` of the
+    per-shard champions (P×N floats+ints) and a replicated final argmin.
+    Returned indices are global (shard offset added).
+    """
+    local = nearest_neighbors(src, src_mask, tgt_shard, tgt_mask_shard, tile=tile)
+    shard_size = tgt_shard.shape[-2]
+    my = jax.lax.axis_index(axis_name)
+    global_idx = local.idx + my * shard_size
+    d_all = jax.lax.all_gather(local.dist, axis_name)   # [P, N]
+    i_all = jax.lax.all_gather(global_idx, axis_name)   # [P, N]
+    best = jnp.argmin(d_all, axis=0)                    # [N]
+    dist = jnp.take_along_axis(d_all, best[None, :], axis=0)[0]
+    idx = jnp.take_along_axis(i_all, best[None, :], axis=0)[0]
+    return NNResult(idx, dist)
+
+
+def tp_gather_points(
+    points_shard: jax.Array, global_idx: jax.Array, axis_name: str
+) -> jax.Array:
+    """Gather rows of a point-axis-sharded ``[M/P, D]`` array by global
+    indices, replicated result ``[N, D]``.
+
+    Each device contributes its local candidates; the owner's row wins via
+    a masked ``psum`` (zero elsewhere) — one reduction on ICI.
+    """
+    shard_size = points_shard.shape[-2]
+    my = jax.lax.axis_index(axis_name)
+    local_idx = global_idx - my * shard_size
+    in_range = (local_idx >= 0) & (local_idx < shard_size)
+    safe = jnp.clip(local_idx, 0, shard_size - 1)
+    vals = jnp.take(points_shard, safe, axis=-2)
+    vals = jnp.where(in_range[..., None], vals, 0.0)
+    return jax.lax.psum(vals, axis_name)
+
+
+def tp_knn(
+    src: jax.Array,
+    src_mask: jax.Array,
+    tgt_shard: jax.Array,
+    tgt_mask_shard: jax.Array,
+    k: int,
+    axis_name: str,
+    tile: int = 512,
+) -> NNResult:
+    """k-NN with the target point axis sharded: local top-k per shard,
+    all_gather the P×k candidates, replicated merge to global top-k."""
+    local = knn(src, src_mask, tgt_shard, tgt_mask_shard, k=k, tile=tile)
+    shard_size = tgt_shard.shape[-2]
+    my = jax.lax.axis_index(axis_name)
+    global_idx = local.idx + my * shard_size
+    d_all = jax.lax.all_gather(local.dist, axis_name)   # [P, N, k]
+    i_all = jax.lax.all_gather(global_idx, axis_name)   # [P, N, k]
+    P = d_all.shape[0]
+    n = src.shape[-2]
+    d_cat = jnp.moveaxis(d_all, 0, -2).reshape(n, P * k)
+    i_cat = jnp.moveaxis(i_all, 0, -2).reshape(n, P * k)
+    neg_top, pos = jax.lax.top_k(-d_cat, k)
+    idx = jnp.take_along_axis(i_cat, pos, axis=-1)
+    return NNResult(idx, -neg_top)
