@@ -1,0 +1,607 @@
+"""LidarOdometry — the front-end module (the rebuild of the reference's
+single class, reference src/LidarOdometry.cpp / LidarOdometry.h).
+
+Host orchestration only: every FLOP lives in the device engine
+(``models.align``). Architecture inversion vs the reference (SURVEY.md §7):
+
+* the reference fans scan-pair ICP jobs out to threads; here nearby-keyframe
+  checks are ONE batched device dispatch and the loop-closure Monte-Carlo
+  perturbations are a vmapped axis (reference src/LidarOdometry.cpp:708-741,
+  :767-787);
+* state is owned by the single pipeline worker (the reference's unprotected
+  ``state_`` races — SURVEY.md §2c — don't exist here by construction);
+* the reference's edge-dedup bug (``edge_already_exists = false`` at
+  :620-627) is fixed: an existing factor/edge suppresses re-checking.
+
+Pipeline parity map (reference line refs in comments):
+
+  on_new_observation  → sensor gate :169, back-pressure drop :171-179,
+                        1-worker FIFO enqueue :184
+  _process            → time gate :202-212, generators :215-217,
+                        filters :220-224, twist prior :264-275, ICP :299,
+                        twist update :305-311, KF decision :321-337,
+                        KF + factor emission :342-475, localization
+                        advertise :484-490, nearby-KF trigger :496-508
+  check_for_nearby_kfs→ Dijkstra + windowing + dedup + classify :516-744
+  _check_non_adjacent → nearby-align / MC loop closure + acceptance gate
+                        :746-849
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud.metric_map import MetricMap
+from ..filters.base import FilterPipeline
+from ..filters.generators import apply_generators, generators_from_config
+from ..geometry import se3
+from ..models.config import AlignKind, ICPParams
+from ..models.icp import ICPResult, align
+from ..parallel.batch import monte_carlo_guesses
+from ..utils.config import DEG2RAD, yaml_get
+from .backend import (
+    AdvertiseLocalization, FactorRelativePose3, ProposeKFInput,
+)
+from .icp_config import icp_params_from_config
+from .module_base import FrontEndBase, MODULE_REGISTRY, RawObservation
+from .pose_graph import PoseGraph
+from .worldmodel import (
+    ANNOTATION_NAME_PC_LAYERS, ANNOTATION_NAME_RENDER_DECORATION, WorldModel,
+)
+
+
+# -- host-side pose helpers (numpy; graph bookkeeping stays off-device) ----
+
+def _np_pose(p: se3.Pose) -> Tuple[np.ndarray, np.ndarray]:
+    return np.asarray(p.R, np.float64), np.asarray(p.t, np.float64)
+
+
+def _jx_pose(R: np.ndarray, t: np.ndarray) -> se3.Pose:
+    return se3.Pose(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+
+
+@dataclass
+class LidarOdometryParameters:
+    """All tunables — defaults match reference LidarOdometry.h:52-107."""
+
+    min_time_between_scans: float = 0.2
+    min_dist_xyz_between_keyframes: float = 1.0
+    min_rotation_between_keyframes: float = 30.0 * DEG2RAD
+    min_icp_goodness: float = 0.4
+    min_icp_goodness_lc: float = 0.6
+    min_dist_to_matching: float = 6.0
+    max_dist_to_matching: float = 12.0
+    max_dist_to_loop_closure: float = 30.0
+    loop_closure_montecarlo_samples: int = 10
+    max_nearby_align_checks: int = 2
+    min_topo_dist_to_consider_loopclosure: int = 20
+    max_KFs_local_graph: int = 50000
+    viz_decor_decimation: int = 5
+    viz_decor_pointsize: float = 2.0
+    max_queue_length: int = 10  # drop threshold (reference :173)
+    # non-LC acceptance: correction must be < this fraction of the initial
+    # guess norm (reference gate at :809-816)
+    max_correction_ratio: float = 0.2
+
+
+@dataclass
+class ICPInput:
+    """run_one_icp input (reference LidarOdometry.h:114-124)."""
+
+    align_kind: AlignKind
+    to_id: int
+    from_id: int
+    to_pc: MetricMap
+    from_pc: MetricMap
+    init_guess_to_wrt_from: se3.Pose
+    debug_str: str = ""
+
+
+@dataclass
+class ICPOutput:
+    """run_one_icp output (reference LidarOdometry.h:126-132)."""
+
+    success: bool
+    goodness: float
+    found_pose_to_wrt_from: se3.Pose
+    cov: np.ndarray
+    n_iterations: int = 0
+
+
+@dataclass
+class MethodState:
+    """Algorithm state (reference LidarOdometry.h:136-160) — owned by the
+    single pipeline worker; only the local graph is shared (mutex)."""
+
+    last_obs_tim: Optional[float] = None
+    last_points: Optional[MetricMap] = None
+    twist: np.ndarray = field(default_factory=lambda: np.zeros(6))
+    twist_is_good: bool = False
+    last_kf: Optional[int] = None
+    accum_since_last_kf_R: np.ndarray = field(default_factory=lambda: np.eye(3))
+    accum_since_last_kf_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    kf_decor_counter: int = 0
+    local_pose_graph: PoseGraph = field(default_factory=PoseGraph)
+    checked_KF_pairs: Set[Tuple[int, int]] = field(default_factory=set)
+    mc_seed: int = 0
+
+
+@MODULE_REGISTRY.register("LidarOdometry")
+@MODULE_REGISTRY.register("mola::LidarOdometry")
+class LidarOdometry(FrontEndBase):
+    """LiDAR odometry front-end: scans in → keyframes + SE(3) factors out."""
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self.params = LidarOdometryParameters()
+        self.icp_cases: Dict[AlignKind, ICPParams] = {}
+        self.generators: List = []
+        self.filter_pipeline: FilterPipeline = FilterPipeline()
+        self.worldmodel: Optional[WorldModel] = None
+        self.state = MethodState()
+        self._state_lock = threading.Lock()  # guards local graph + checked pairs
+        self._pipeline_pool = ThreadPoolExecutor(1, thread_name_prefix="scan")
+        self._nearby_pool = ThreadPoolExecutor(2, thread_name_prefix="pastkf")
+        self._pending = 0
+        self._pending_lock = threading.Lock()
+        self._nearby_inflight = 0
+        self._drops = 0
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    def initialize(self, cfg: Dict[str, Any]) -> None:
+        """Parse the module's ``params`` block (reference
+        src/LidarOdometry.cpp:90-149)."""
+        c = cfg.get("params", cfg)
+        p = self.params
+        g = lambda k, d, **kw: yaml_get(c, k, default=d, **kw)
+        p.min_time_between_scans = float(g("min_time_between_scans", p.min_time_between_scans))
+        p.min_dist_xyz_between_keyframes = float(
+            g("min_dist_xyz_between_keyframes", p.min_dist_xyz_between_keyframes))
+        if "min_rotation_between_keyframes" in c:
+            p.min_rotation_between_keyframes = yaml_get(
+                c, "min_rotation_between_keyframes", deg_to_rad=True)
+        p.min_icp_goodness = float(g("min_icp_goodness", p.min_icp_goodness))
+        p.min_icp_goodness_lc = float(g("min_icp_goodness_lc", p.min_icp_goodness_lc))
+        p.min_dist_to_matching = float(g("min_dist_to_matching", p.min_dist_to_matching))
+        p.max_dist_to_matching = float(g("max_dist_to_matching", p.max_dist_to_matching))
+        p.max_dist_to_loop_closure = float(
+            g("max_dist_to_loop_closure", p.max_dist_to_loop_closure))
+        p.loop_closure_montecarlo_samples = int(
+            g("loop_closure_montecarlo_samples", p.loop_closure_montecarlo_samples))
+        p.max_nearby_align_checks = int(
+            g("max_nearby_align_checks", p.max_nearby_align_checks))
+        p.min_topo_dist_to_consider_loopclosure = int(
+            g("min_topo_dist_to_consider_loopclosure",
+              p.min_topo_dist_to_consider_loopclosure))
+        p.max_KFs_local_graph = int(g("max_KFs_local_graph", p.max_KFs_local_graph))
+        p.viz_decor_decimation = int(g("viz_decor_decimation", p.viz_decor_decimation))
+        p.viz_decor_pointsize = float(g("viz_decor_pointsize", p.viz_decor_pointsize))
+
+        # The three ICP cases (reference :122-128)
+        self.icp_cases = {}
+        for key, kind in (
+            ("icp_settings_with_vel", AlignKind.LIDAR_ODOMETRY),
+            ("icp_settings_without_vel", AlignKind.NEARBY_ALIGN),
+            ("icp_settings_loop_closure", AlignKind.LOOP_CLOSURE),
+        ):
+            if key in c and c[key]:
+                self.icp_cases[kind] = icp_params_from_config(c[key])
+        if not self.icp_cases:
+            from ..models.presets import icp_cases_kitti
+            self.icp_cases = icp_cases_kitti()
+        for kind in AlignKind:
+            self.icp_cases.setdefault(
+                kind, next(iter(self.icp_cases.values())))
+
+        # Generators + filter pipeline (reference :135-140), incl. the
+        # legacy single-filter keys of the stale KITTI preset (SURVEY §2d)
+        self.generators = generators_from_config(c.get("pointcloud_generator"))
+        filt_cfg = c.get("pointcloud_filter")
+        if filt_cfg is None and "pointcloud_filter_class" in c:
+            filt_cfg = [{
+                "class": c["pointcloud_filter_class"],
+                "params": c.get("pointcloud_filter_params", {}),
+            }]
+        self.filter_pipeline = FilterPipeline.from_config(filt_cfg)
+
+        if self.worldmodel is None:
+            self.worldmodel = self.find_service(WorldModel) or WorldModel()
+
+    def reset(self) -> None:
+        """Reinitialize state (reference :160)."""
+        with self._state_lock:
+            self.state = MethodState()
+
+    def state_copy(self) -> MethodState:
+        """Snapshot accessor (reference stateCopy(), LidarOdometry.h:163)."""
+        with self._state_lock:
+            return dataclasses.replace(self.state)
+
+    # ------------------------------------------------------------------
+    # observation intake (reference :162-187)
+    # ------------------------------------------------------------------
+    def on_new_observation(self, obs: RawObservation):
+        if self.raw_sensor_label and obs.get("sensor_label") != self.raw_sensor_label:
+            return None
+        with self._pending_lock:
+            queued = self._pending
+            self.profiler.register_user_measure("onNewObservation.queue_length", queued)
+            if queued > self.params.max_queue_length:
+                self._drops += 1
+                self.profiler.register_user_measure("onNewObservation.drop_observation", 1)
+                self.log.error_throttle(
+                    1.0, "Dropping observation due to pipeline overload (%d queued)",
+                    queued)
+                return None
+            self._pending += 1
+        self.profiler.enter("delay_onNewObs_to_process")
+        return self._pipeline_pool.submit(self._process_safe, obs)
+
+    def _process_safe(self, obs: RawObservation) -> None:
+        # per-scan error isolation (reference :194, :510-513)
+        try:
+            self._process(obs)
+        except Exception:  # noqa: BLE001
+            self.log.exception("exception processing scan")
+        finally:
+            with self._pending_lock:
+                self._pending -= 1
+
+    # ------------------------------------------------------------------
+    # the main pipeline (reference doProcessNewObservation :190-514)
+    # ------------------------------------------------------------------
+    def _process(self, obs: RawObservation) -> None:
+        prof = self.profiler
+        prof.leave("delay_onNewObs_to_process")
+        prof.enter("doProcessNewObservation")
+        try:
+            tim = float(obs.get("timestamp", 0.0))
+            st = self.state
+
+            # time gate (reference :202-212)
+            if st.last_obs_tim is not None:
+                dt = tim - st.last_obs_tim
+                if dt < self.params.min_time_between_scans:
+                    prof.register_user_measure("doProcess.skip_too_soon", 1)
+                    return
+
+            # generators + filters (reference :215-224) — the device ingest
+            prof.enter("doProcess.generators")
+            this_points = apply_generators(self.generators, obs)
+            prof.leave("doProcess.generators")
+            prof.enter("doProcess.filter")
+            this_points = self.filter_pipeline(this_points)
+            prof.leave("doProcess.filter")
+
+            last_points = st.last_points
+            last_tim = st.last_obs_tim
+            st.last_points = this_points
+            st.last_obs_tim = tim
+
+            create_keyframe = False
+            rel_np: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+            if last_points is None:
+                create_keyframe = True  # first scan (reference :250-257)
+            else:
+                dt = tim - (last_tim or tim)
+                # velocity-model prior (reference :264-275; full se(3) twist)
+                if st.twist_is_good and dt > 0:
+                    guess = se3.exp(jnp.asarray(st.twist * dt, jnp.float32))
+                    kind = AlignKind.LIDAR_ODOMETRY
+                else:
+                    guess = se3.identity()
+                    kind = AlignKind.NEARBY_ALIGN  # without-vel set (ref :287-290)
+
+                icp_out = self.run_one_icp(ICPInput(
+                    align_kind=kind, to_id=-1, from_id=-1,
+                    to_pc=this_points, from_pc=last_points,
+                    init_guess_to_wrt_from=guess, debug_str="icp_latest",
+                ))
+
+                R, t = _np_pose(icp_out.found_pose_to_wrt_from)
+                # twist update (reference :305-311; omega part included)
+                if dt > 0 and icp_out.success:
+                    tau = np.asarray(se3.log(icp_out.found_pose_to_wrt_from), np.float64)
+                    st.twist = tau / dt
+                st.twist_is_good = (
+                    icp_out.success and icp_out.goodness >= self.params.min_icp_goodness
+                )
+
+                # accumulate odometry since last KF (reference :319-331)
+                st.accum_since_last_kf_R, st.accum_since_last_kf_t = (
+                    st.accum_since_last_kf_R @ R,
+                    st.accum_since_last_kf_R @ t + st.accum_since_last_kf_t,
+                )
+                dist = float(np.linalg.norm(st.accum_since_last_kf_t))
+                rot = float(se3.rotation_angle(
+                    se3.Pose(jnp.asarray(st.accum_since_last_kf_R, jnp.float32),
+                             jnp.asarray(st.accum_since_last_kf_t, jnp.float32))))
+                # KF decision (reference :333-337)
+                create_keyframe = icp_out.goodness > self.params.min_icp_goodness and (
+                    dist > self.params.min_dist_xyz_between_keyframes
+                    or rot > self.params.min_rotation_between_keyframes
+                )
+                prof.register_user_measure("icp_latest.goodness", icp_out.goodness)
+
+            if create_keyframe:
+                self._create_keyframe(tim, this_points)
+
+            # advertise localization every scan (reference :484-490,
+            # fire-and-forget)
+            if self.slam_backend is not None and st.last_kf is not None:
+                self.slam_backend.advertise_updated_localization(
+                    AdvertiseLocalization(
+                        timestamp=tim, reference_kf=st.last_kf,
+                        pose=_jx_pose(st.accum_since_last_kf_R,
+                                      st.accum_since_last_kf_t)))
+
+            # search for extra edges (reference :496-508)
+            with self._state_lock:
+                graph_nonempty = len(st.local_pose_graph) > 0
+            if graph_nonempty:
+                self.check_for_nearby_kfs()
+        finally:
+            prof.leave("doProcessNewObservation")
+
+    # ------------------------------------------------------------------
+    def _create_keyframe(self, tim: float, points: MetricMap) -> None:
+        """KF proposal + annotations + odometry factor (reference :342-475)."""
+        st = self.state
+        prof = self.profiler
+        kf_id = None
+        if self.slam_backend is not None:
+            prof.enter("doProcess.addKeyFrame")
+            out = self.slam_backend.add_keyframe(
+                ProposeKFInput(timestamp=tim)).result()  # blocking .get() (ref :362)
+            prof.leave("doProcess.addKeyFrame")
+            if not out.success:
+                self.log.error("addKeyFrame failed")
+                return
+            kf_id = out.new_kf_id
+        else:
+            kf_id = (st.last_kf + 1) if st.last_kf is not None else 0
+
+        wm = self.worldmodel
+        if wm is not None:
+            with wm.lock_for_write():
+                wm.add_entity(kf_id)
+                # store the filtered layered cloud (reference :384-388;
+                # raw obs intentionally NOT attached, ref :349-354)
+                wm.annotate(kf_id, ANNOTATION_NAME_PC_LAYERS, points)
+                # render decoration every Nth KF (reference :390-426)
+                if st.kf_decor_counter % self.params.viz_decor_decimation == 0:
+                    decor_layer = points.get("decimated") or next(iter(points.values()))
+                    wm.annotate(kf_id, ANNOTATION_NAME_RENDER_DECORATION, {
+                        "points": np.asarray(decor_layer.xyz),
+                        "mask": np.asarray(decor_layer.mask),
+                        "point_size": self.params.viz_decor_pointsize,
+                    })
+                st.kf_decor_counter += 1
+
+        if st.last_kf is not None:
+            rel = _jx_pose(st.accum_since_last_kf_R, st.accum_since_last_kf_t)
+            f = FactorRelativePose3(kf_from=st.last_kf, kf_to=kf_id, rel_pose=rel)
+            if self.slam_backend is not None:
+                self.slam_backend.add_factor(f).result()  # blocking (ref :451)
+            if wm is not None:
+                wm.add_neighbors(st.last_kf, kf_id)
+            with self._state_lock:
+                st.local_pose_graph.insert_edge(
+                    st.last_kf, kf_id,
+                    st.accum_since_last_kf_R, st.accum_since_last_kf_t)
+        else:
+            with self._state_lock:
+                st.local_pose_graph.insert_node(kf_id)
+
+        self.log.info("New KF #%s (dist=%.2fm)", kf_id,
+                      float(np.linalg.norm(st.accum_since_last_kf_t)))
+        st.accum_since_last_kf_R = np.eye(3)
+        st.accum_since_last_kf_t = np.zeros(3)
+        st.last_kf = kf_id
+
+    # ------------------------------------------------------------------
+    # nearby-KF / loop-closure search (reference checkForNearbyKFs :516-744)
+    # ------------------------------------------------------------------
+    def check_for_nearby_kfs(self) -> None:
+        st = self.state
+        p = self.params
+        prof = self.profiler
+        prof.enter("checkForNearbyKFs")
+        try:
+            with self._state_lock:
+                if st.last_kf is None:
+                    return
+                poses, topo = st.local_pose_graph.dijkstra_nodes_estimate(st.last_kf)
+                # prune local graph (reference :557-569)
+                if len(st.local_pose_graph) > p.max_KFs_local_graph:
+                    by_dist = sorted(
+                        ((np.linalg.norm(t_), n) for n, (R_, t_) in poses.items()),
+                        reverse=True)
+                    for _, victim in by_dist[: len(st.local_pose_graph)
+                                             - p.max_KFs_local_graph]:
+                        st.local_pose_graph.remove_node(victim)
+
+            d_max = max(p.max_dist_to_loop_closure, p.max_dist_to_matching)
+            nearby: List[Tuple[float, int, np.ndarray, np.ndarray]] = []
+            lc_best: Optional[Tuple[float, int, np.ndarray, np.ndarray]] = None
+            wm = self.worldmodel
+
+            for node, (R_, t_) in poses.items():
+                if node == st.last_kf:
+                    continue
+                d = float(np.linalg.norm(t_))
+                if d < p.min_dist_to_matching or d > d_max:
+                    continue  # window (reference :574-576)
+                is_lc = topo.get(node, 0) >= p.min_topo_dist_to_consider_loopclosure
+                if not is_lc and d > p.max_dist_to_matching:
+                    continue  # (reference :592-594)
+                pair = (min(node, st.last_kf), max(node, st.last_kf))
+                with self._state_lock:
+                    if pair in st.checked_KF_pairs:
+                        continue
+                    # dedup on existing edge — the reference intended this
+                    # but its flag was inverted (:620-627); fixed here
+                    if st.local_pose_graph.has_edge(*pair):
+                        continue
+                if wm is not None and node in wm.entity_neighbors(st.last_kf):
+                    continue
+                if wm is None or not wm.has_annotation(node, ANNOTATION_NAME_PC_LAYERS):
+                    continue
+                if is_lc:
+                    if lc_best is None or d < lc_best[0]:
+                        lc_best = (d, node, R_, t_)
+                else:
+                    nearby.append((d, node, R_, t_))
+
+            # decimate nearby checks (reference :704-722)
+            nearby.sort()
+            if len(nearby) > p.max_nearby_align_checks:
+                stride = max(1, len(nearby) // p.max_nearby_align_checks)
+                nearby = nearby[::stride][: p.max_nearby_align_checks]
+
+            jobs = []
+            with self._state_lock:
+                for d, node, R_, t_ in nearby:
+                    st.checked_KF_pairs.add((min(node, st.last_kf),
+                                             max(node, st.last_kf)))
+                    jobs.append(("nearby", d, node, R_, t_))
+                if lc_best is not None:
+                    d, node, R_, t_ = lc_best
+                    st.checked_KF_pairs.add((min(node, st.last_kf),
+                                             max(node, st.last_kf)))
+                    jobs.append(("lc", d, node, R_, t_))
+
+            current_kf = st.last_kf
+            for kind, d, node, R_, t_ in jobs:
+                self.log.info("%s check: KF %s <-> %s (d=%.1fm)",
+                              "LC" if kind == "lc" else "nearby",
+                              current_kf, node, d)
+                with self._pending_lock:
+                    self._nearby_inflight += 1
+                self._nearby_pool.submit(
+                    self._check_non_adjacent_safe, kind, current_kf, node, R_, t_)
+        finally:
+            prof.leave("checkForNearbyKFs")
+
+    def _check_non_adjacent_safe(self, kind, cur_kf, other_kf, R_, t_):
+        try:
+            self._check_non_adjacent(kind, cur_kf, other_kf, R_, t_)
+        except Exception:  # noqa: BLE001
+            self.log.exception("exception in non-adjacent KF check")
+        finally:
+            with self._pending_lock:
+                self._nearby_inflight -= 1
+
+    def _check_non_adjacent(self, kind: str, cur_kf: int, other_kf: int,
+                            R_: np.ndarray, t_: np.ndarray) -> None:
+        """Nearby-align / loop-closure worker (reference
+        doCheckForNonAdjacentKFs :746-849)."""
+        st = self.state
+        p = self.params
+        wm = self.worldmodel
+        cur_pc = wm.annotation(cur_kf, ANNOTATION_NAME_PC_LAYERS)
+        oth_pc = wm.annotation(other_kf, ANNOTATION_NAME_PC_LAYERS)
+        if cur_pc is None or oth_pc is None:
+            return
+        init = _jx_pose(R_, t_)  # pose of other in frame of current
+
+        if kind == "lc":
+            # Monte-Carlo perturbations — ONE vmapped batch instead of the
+            # reference's sequential 10 aligns (:767-787)
+            sigma_xyz = 0.1 * p.max_dist_to_loop_closure
+            sigma_rot = 2.0 * DEG2RAD
+            st.mc_seed += 1
+            guesses = monte_carlo_guesses(
+                jax.random.key(st.mc_seed), init,
+                p.loop_closure_montecarlo_samples, sigma_xyz, sigma_rot)
+            params = self.icp_cases[AlignKind.LOOP_CLOSURE]
+            res = jax.vmap(lambda g: align(oth_pc, cur_pc, g, params))(guesses)
+            best = int(jnp.argmax(res.quality))
+            goodness = float(res.quality[best])
+            pose = jax.tree.map(lambda x: x[best], res.pose)
+            min_goodness = p.min_icp_goodness_lc
+        else:
+            out = self.run_one_icp(ICPInput(
+                align_kind=AlignKind.NEARBY_ALIGN, to_id=other_kf, from_id=cur_kf,
+                to_pc=oth_pc, from_pc=cur_pc, init_guess_to_wrt_from=init,
+                debug_str="nearby"))
+            goodness, pose = out.goodness, out.found_pose_to_wrt_from
+            min_goodness = p.min_icp_goodness
+
+        # acceptance gate (reference :794-816)
+        corr = float(se3.translation_norm(se3.compose(se3.inverse(init), pose)))
+        init_norm = max(float(np.linalg.norm(t_)), 0.1)
+        accept = goodness >= min_goodness and (
+            kind == "lc" or corr < p.max_correction_ratio * init_norm)
+        self.profiler.register_user_measure(
+            f"checkNonAdjacent.{kind}.goodness", goodness)
+        if not accept:
+            self.log.info("%s rejected: goodness=%.2f corr=%.2fm", kind, goodness, corr)
+            return
+
+        Rn, tn = _np_pose(pose)
+        f = FactorRelativePose3(kf_from=cur_kf, kf_to=other_kf, rel_pose=pose)
+        if self.slam_backend is not None:
+            self.slam_backend.add_factor(f).result()
+        if wm is not None:
+            wm.add_neighbors(cur_kf, other_kf)
+        with self._state_lock:
+            st.local_pose_graph.insert_edge(cur_kf, other_kf, Rn, tn)
+        self.log.info("%s ACCEPTED: KF %s <-> %s goodness=%.2f",
+                      "loop closure" if kind == "lc" else "nearby edge",
+                      cur_kf, other_kf, goodness)
+
+    # ------------------------------------------------------------------
+    # the compute seam (reference run_one_icp :851-895)
+    # ------------------------------------------------------------------
+    def run_one_icp(self, inp: ICPInput) -> ICPOutput:
+        params = self.icp_cases[inp.align_kind]
+        prof = self.profiler
+        prof.enter(f"run_one_icp.{inp.debug_str or inp.align_kind.value}")
+        try:
+            res: ICPResult = align(
+                inp.to_pc, inp.from_pc, inp.init_guess_to_wrt_from, params)
+            goodness = float(res.quality)
+            return ICPOutput(
+                success=True,
+                goodness=goodness,
+                found_pose_to_wrt_from=res.pose,
+                cov=np.asarray(res.cov),
+                n_iterations=int(res.n_iterations),
+            )
+        finally:
+            prof.leave(f"run_one_icp.{inp.debug_str or inp.align_kind.value}")
+
+    # ------------------------------------------------------------------
+    def drain(self, timeout: float = 600.0) -> None:
+        """Block until queued scans and nearby checks finish (test/replay
+        aid). Times out softly — a straggler loop-closure job logs a warning
+        instead of raising (first-compile of the MC batch can be slow)."""
+        import time as _time
+        from concurrent.futures import TimeoutError as _FTimeout
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < timeout:
+            with self._pending_lock:
+                if self._pending == 0 and self._nearby_inflight == 0:
+                    break
+            _time.sleep(0.005)
+        else:
+            self.log.warning("drain(): nearby/LC jobs still running at timeout")
+        del _FTimeout
+
+    def shutdown(self) -> None:
+        self._pipeline_pool.shutdown(wait=True)
+        self._nearby_pool.shutdown(wait=True)

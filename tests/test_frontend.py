@@ -1,0 +1,250 @@
+"""Frontend tests: pose graph, worldmodel, backend protocol, and the full
+odometry pipeline on synthetic trajectories (SURVEY §4.3/4.4)."""
+
+import numpy as np
+import pytest
+
+from mola_fe_lidar_tpu.frontend import (
+    ANNOTATION_NAME_PC_LAYERS, FactorRelativePose3, InMemoryBackend,
+    LidarOdometry, PoseGraph, ProposeKFInput, WorldModel,
+)
+from mola_fe_lidar_tpu.frontend.icp_config import icp_params_from_config
+from mola_fe_lidar_tpu.obs.synthetic import SyntheticWorld, synthetic_sequence
+from mola_fe_lidar_tpu.obs.runner import run_replay
+from mola_fe_lidar_tpu.utils.config import load_yaml
+
+
+class TestPoseGraph:
+    def test_chain_composition(self):
+        g = PoseGraph()
+        # three nodes in a line, 1m apart along x
+        I = np.eye(3)
+        g.insert_edge(0, 1, I, np.array([1.0, 0, 0]))
+        g.insert_edge(1, 2, I, np.array([1.0, 0, 0]))
+        poses, topo = g.dijkstra_nodes_estimate(0)
+        np.testing.assert_allclose(poses[2][1], [2.0, 0, 0], atol=1e-12)
+        assert topo == {0: 0, 1: 1, 2: 2}
+
+    def test_reverse_edge_traversal(self):
+        g = PoseGraph()
+        I = np.eye(3)
+        g.insert_edge(1, 0, I, np.array([1.0, 0, 0]))  # 0 seen from 1
+        poses, _ = g.dijkstra_nodes_estimate(0)
+        np.testing.assert_allclose(poses[1][1], [-1.0, 0, 0], atol=1e-12)
+
+    def test_rotation_composition(self):
+        g = PoseGraph()
+        Rz = lambda a: np.array([[np.cos(a), -np.sin(a), 0],
+                                 [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+        g.insert_edge(0, 1, Rz(np.pi / 2), np.array([1.0, 0, 0]))
+        g.insert_edge(1, 2, Rz(0), np.array([1.0, 0, 0]))
+        poses, _ = g.dijkstra_nodes_estimate(0)
+        np.testing.assert_allclose(poses[2][1], [1.0, 1.0, 0], atol=1e-12)
+
+    def test_shortest_path_wins(self):
+        g = PoseGraph()
+        I = np.eye(3)
+        # long way around: 0-1-2, plus direct 0-2 edge (shorter total)
+        g.insert_edge(0, 1, I, np.array([5.0, 0, 0]))
+        g.insert_edge(1, 2, I, np.array([5.0, 0, 0]))
+        g.insert_edge(0, 2, I, np.array([0.0, 3.0, 0]))
+        poses, topo = g.dijkstra_nodes_estimate(0)
+        np.testing.assert_allclose(poses[2][1], [0, 3.0, 0], atol=1e-12)
+        assert topo[2] == 1
+
+    def test_prune(self):
+        g = PoseGraph()
+        I = np.eye(3)
+        g.insert_edge(0, 1, I, np.ones(3))
+        g.insert_edge(1, 2, I, np.ones(3))
+        g.remove_node(2)
+        assert 2 not in g.nodes
+        assert not g.has_edge(1, 2)
+        poses, _ = g.dijkstra_nodes_estimate(0)
+        assert set(poses) == {0, 1}
+
+
+class TestWorldModel:
+    def test_annotations_and_neighbors(self):
+        wm = WorldModel()
+        wm.add_entity(0)
+        wm.annotate(0, "foo", 123)
+        assert wm.annotation(0, "foo") == 123
+        wm.add_neighbors(0, 5)
+        assert wm.entity_neighbors(0) == {5}
+        assert wm.entity_neighbors(5) == {0}
+
+    def test_spill_and_reload(self, tmp_path, rng):
+        from mola_fe_lidar_tpu.cloud import from_points
+        wm = WorldModel(spill_dir=str(tmp_path), max_resident=2)
+        clouds = {}
+        for i in range(5):
+            pts = rng.standard_normal((20, 3)).astype(np.float32)
+            clouds[i] = pts
+            wm.annotate(i, ANNOTATION_NAME_PC_LAYERS,
+                        {"raw": from_points(pts, capacity=32)})
+        assert wm.resident_count() <= 2  # older ones spilled to disk
+        # reload the oldest (spilled) one transparently
+        mm = wm.annotation(0, ANNOTATION_NAME_PC_LAYERS)
+        assert mm is not None
+        np.testing.assert_allclose(np.asarray(mm["raw"].xyz[:20]), clouds[0], atol=1e-6)
+
+
+class TestBackend:
+    def test_future_protocol(self):
+        be = InMemoryBackend()
+        out = be.add_keyframe(ProposeKFInput(timestamp=1.0)).result()
+        assert out.success and out.new_kf_id == 0
+        out2 = be.add_keyframe(ProposeKFInput(timestamp=2.0)).result()
+        assert out2.new_kf_id == 1
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.geometry import se3
+        f = FactorRelativePose3(0, 1, se3.identity())
+        fo = be.add_factor(f).result()
+        assert fo.success
+        assert len(be.factors) == 1
+        # reference noise defaults: 0.10 m / 1 deg (src/LidarOdometry.cpp:444-445)
+        assert abs(be.factors[0].noise_model_diag_xyz - 0.10) < 1e-12
+        assert abs(be.factors[0].noise_model_diag_rot - np.deg2rad(1.0)) < 1e-12
+        be.shutdown()
+
+
+class TestICPConfigConverter:
+    def test_reference_shaped_yaml(self):
+        cfg = load_yaml("mola_fe_lidar_tpu/params/icp-settings-regular.yaml")
+        p = icp_params_from_config(cfg)
+        assert p.max_iterations == 100
+        assert p.min_abs_step_trans == 5e-5
+        assert p.solver.kind == "gauss_newton" and p.solver.max_iterations == 20
+        kinds = [m.kind for m in p.matchers]
+        assert "point2plane_normals" in kinds and "point2point" in kinds
+        assert p.matchers[0].tgt_layer == "planes"
+
+    def test_mp2p_class_names(self):
+        cfg = {
+            "params": {"maxIterations": 7},
+            "matchers": [{"class": "mp2p_icp::Matcher_Point2Plane",
+                          "params": {"knn": 6, "distanceThreshold": 0.7,
+                                     "planeEigenThreshold": 0.07}}],
+            "solvers": [{"class": "mp2p_icp::Solver_GaussNewton",
+                         "params": {"maxIterations": 20}}],
+            "quality": [{"class": "mp2p_icp::QualityEvaluator_PairedRatio",
+                         "params": {"thresholdDistance": 0.1}}],
+        }
+        p = icp_params_from_config(cfg)
+        assert p.max_iterations == 7
+        assert p.matchers[0].kind == "point2plane_knn"
+        assert p.quality[0].threshold_distance == 0.1
+
+
+# -- integration: the full pipeline on synthetic data -----------------------
+
+def odom_test_cfg(**over):
+    icp = {
+        "params": {"maxIterations": 30},
+        # point-to-plane: robust to cloud resampling (the reason the
+        # reference defaults to Matcher_Point2Plane)
+        "matchers": [{"class": "Matcher_Point2Plane",
+                      "params": {"distanceThreshold": 2.0, "knn": 6,
+                                 "planeEigenThreshold": 0.2,
+                                 "src_layer": "decimated",
+                                 "tgt_layer": "decimated"}}],
+        "solvers": [{"class": "Solver_GaussNewton", "params": {"maxIterations": 8}}],
+        "quality": [{"class": "QualityEvaluator_PairedRatio",
+                     "params": {"thresholdDistance": 0.3,
+                                "src_layer": "raw", "tgt_layer": "raw"}}],
+    }
+    params = {
+        "min_time_between_scans": 0.01,
+        "min_dist_xyz_between_keyframes": 3.0,
+        "min_icp_goodness": 0.3,
+        "min_icp_goodness_lc": 0.35,
+        "min_dist_to_matching": 4.0,
+        "max_dist_to_matching": 10.0,
+        "max_dist_to_loop_closure": 14.0,
+        "max_nearby_align_checks": 2,
+        "min_topo_dist_to_consider_loopclosure": 8,
+        "loop_closure_montecarlo_samples": 6,
+        "pointcloud_generator": [
+            {"class": "GeneratorRawPoints", "params": {"capacity": 4096}}],
+        "pointcloud_filter": [
+            {"class": "FilterVoxelDownsample",
+             "params": {"voxel_size": 0.7, "output_capacity": 2048}}],
+        "icp_settings_with_vel": icp,
+    }
+    params.update(over)
+    return {"params": params}
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    return SyntheticWorld(extent=60.0, n_world_points=60_000,
+                          points_per_scan=4096, max_range=35.0, seed=1)
+
+
+class TestLidarOdometryIntegration:
+    def test_straight_run(self, small_world):
+        obs, gt = synthetic_sequence(kind="straight", n_scans=14, speed=2.0,
+                                     rate_hz=2.0, world=small_world)
+        res = run_replay(obs, odom_test_cfg(), gt_poses=gt)
+        backend = res["backend"]
+        # KF spacing obeys min_dist (3 m at 1 m/scan-step => every ~3 scans)
+        assert 3 <= res["n_keyframes"] <= 8
+        assert res["n_factors"] >= res["n_keyframes"] - 1
+        # odometry factors chain consecutive KFs
+        kf_ids = sorted(backend.keyframes)
+        chained = {(f.kf_from, f.kf_to) for f in backend.factors}
+        for a, b in zip(kf_ids[:-1], kf_ids[1:]):
+            assert (a, b) in chained
+        # localization advertised every processed scan
+        assert len(backend.localizations) >= res["n_keyframes"]
+        # trajectory accuracy: ATE well under a KF spacing
+        assert res.get("ate_rmse", 99) < 0.5
+
+    def test_time_gating_drops_fast_scans(self, small_world):
+        obs, _ = synthetic_sequence(kind="straight", n_scans=8, speed=2.0,
+                                    rate_hz=2.0, world=small_world)
+        # duplicate each obs with a timestamp 1 ms later -> must be gated
+        doubled = []
+        for o in obs:
+            doubled.append(o)
+            doubled.append({**o, "timestamp": o["timestamp"] + 0.001})
+        cfg = odom_test_cfg(min_time_between_scans=0.2)
+        res = run_replay(doubled, cfg)
+        prof = res["module"].profiler.stats()
+        assert prof["counter:doProcess.skip_too_soon"]["count"] >= len(obs) - 1
+
+    def test_sensor_label_gate(self, small_world):
+        obs, _ = synthetic_sequence(kind="straight", n_scans=4, world=small_world)
+        from mola_fe_lidar_tpu.obs.runner import build_module
+        m = build_module(odom_test_cfg())
+        m.raw_sensor_label = "other_sensor"
+        for o in obs:
+            m.on_new_observation(o)
+        m.drain()
+        assert m.state.last_kf is None  # nothing processed
+
+    def test_reset(self, small_world):
+        obs, _ = synthetic_sequence(kind="straight", n_scans=6, world=small_world)
+        res = run_replay(obs, odom_test_cfg())
+        m = res["module"]
+        assert m.state.last_kf is not None
+        m.reset()
+        assert m.state.last_kf is None
+        assert len(m.state.local_pose_graph) == 0
+
+    def test_loop_closure_fires(self, small_world):
+        # circular circuit revisiting the start: topological distance large,
+        # euclidean small => LC gate opens (reference :588-589)
+        obs, gt = synthetic_sequence(kind="circle", n_scans=80, speed=2.0,
+                                     rate_hz=2.0, world=small_world,
+                                     loop_side=26.0)
+        res = run_replay(obs, odom_test_cfg())
+        backend = res["backend"]
+        kf_ids = sorted(backend.keyframes)
+        # at least one factor joins KFs far apart in index (loop closure or
+        # long-range nearby edge after revisit)
+        long_range = [f for f in backend.factors
+                      if abs(f.kf_to - f.kf_from) >= 8]
+        assert long_range, (
+            f"no long-range factor among {[(f.kf_from, f.kf_to) for f in backend.factors]}")

@@ -114,9 +114,9 @@ class TestProfiler:
 
 
 class TestLogging:
-    def test_throttle(self, capsys):
+    def test_throttle(self, caplog):
         log = get_logger("test_throttle_unit")
-        for _ in range(10):
-            log.error_throttle(100.0, "spam %d", 1)
-        err = capsys.readouterr().err
-        assert err.count("spam") == 1
+        with caplog.at_level("ERROR", logger="mola_fe_lidar_tpu.test_throttle_unit"):
+            for _ in range(10):
+                log.error_throttle(100.0, "spam %d", 1)
+        assert sum("spam" in r.message for r in caplog.records) == 1
