@@ -270,23 +270,58 @@ def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
 
 @FILTER_REGISTRY.register("FilterNormals")
 class FilterNormals:
-    """Attach per-point ``normal``/``planarity`` attrs from voxel-level
-    eigenanalysis — the precompute that enables the fast
-    ``point2plane_normals`` matcher (1-NN instead of per-iteration kNN)."""
+    """Attach per-point ``normal``/``planarity`` attrs — the precompute that
+    enables the fast ``point2plane_normals`` matcher (1-NN per ICP iteration
+    instead of per-iteration kNN + eigen-fit).
 
-    def __init__(self, input_layer="raw", output_layer=None,
-                 voxel_size=1.5, max_voxels=8192):
+    methods:
+      * ``knn`` (default): per-point k-neighborhood eigen-fit within the
+        cloud itself — one kNN pass per cloud, density-independent;
+      * ``voxel``: per-voxel eigenanalysis, points inherit their voxel's
+        normal — cheaper, needs ≥4 points per voxel.
+    """
+
+    def __init__(self, input_layer="raw", output_layer=None, method="knn",
+                 knn=8, voxel_size=1.5, max_voxels=8192):
         self.input_layer = input_layer
         self.output_layer = output_layer or input_layer
+        self.method = method
+        self.knn = int(knn)
         self.voxel_size = float(voxel_size)
         self.max_voxels = int(max_voxels)
+        if method not in ("knn", "voxel"):
+            raise ValueError(f"unknown normals method {method!r}")
 
     def __call__(self, mm: MetricMap) -> MetricMap:
         pc = mm[self.input_layer]
-        out = _attach_normals(pc.xyz, pc.mask, self.voxel_size, self.max_voxels)
+        if self.method == "voxel":
+            out = _attach_normals(pc.xyz, pc.mask, self.voxel_size, self.max_voxels)
+        else:
+            out = _attach_normals_knn(pc.xyz, pc.mask, self.knn)
         mm = dict(mm)
         mm[self.output_layer] = out
         return mm
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _attach_normals_knn(xyz, mask, k) -> PointCloud:
+    from ..ops import matching as _matching
+    if jax.default_backend() != "cpu":
+        nn = _matching.approx_knn(xyz, mask, xyz, mask, k=k)
+    else:
+        nn = _matching.knn(xyz, mask, xyz, mask, k=k)
+    neigh = jnp.take(xyz, nn.idx, axis=-2)             # [N,k,3]
+    valid = (nn.dist < 1e9).astype(xyz.dtype)          # [N,k]
+    cnt = jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
+    centroid = jnp.sum(neigh * valid[..., None], axis=-2) / cnt[..., None]
+    d = (neigh - centroid[..., None, :]) * valid[..., None]
+    cov = jnp.einsum("...ki,...kj->...ij", d, d, precision="highest") / cnt[..., None, None]
+    evs = eigen3.sym_eigenvalues_3x3(cov)
+    normals = eigen3.smallest_eigenvector_3x3(cov, evs)
+    planarity = jnp.clip(
+        1.0 - evs[..., 0] / jnp.maximum(evs[..., 1], 1e-9), 0.0, 1.0
+    ) * (cnt >= 4.0) * mask
+    return PointCloud(xyz, mask, {"normal": normals, "planarity": planarity[:, None]})
 
 
 @functools.partial(jax.jit, static_argnames=("max_voxels",))

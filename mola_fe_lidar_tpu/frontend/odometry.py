@@ -54,7 +54,7 @@ from .backend import (
 )
 from .icp_config import icp_params_from_config
 from .module_base import FrontEndBase, MODULE_REGISTRY, RawObservation
-from .pose_graph import PoseGraph
+from .pose_graph import PoseGraph, make_pose_graph
 from .worldmodel import (
     ANNOTATION_NAME_PC_LAYERS, ANNOTATION_NAME_RENDER_DECORATION, WorldModel,
 )
@@ -131,7 +131,7 @@ class MethodState:
     accum_since_last_kf_R: np.ndarray = field(default_factory=lambda: np.eye(3))
     accum_since_last_kf_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
     kf_decor_counter: int = 0
-    local_pose_graph: PoseGraph = field(default_factory=PoseGraph)
+    local_pose_graph: PoseGraph = field(default_factory=make_pose_graph)
     checked_KF_pairs: Set[Tuple[int, int]] = field(default_factory=set)
     mc_seed: int = 0
 

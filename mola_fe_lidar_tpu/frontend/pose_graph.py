@@ -21,6 +21,19 @@ from typing import Dict, List, Optional, Set, Tuple
 import numpy as np
 
 
+def make_pose_graph(prefer_native: bool = True):
+    """Factory: the C++-backed graph when the native runtime is built,
+    else the pure-Python one (identical surface)."""
+    if prefer_native:
+        try:
+            from ..native import NATIVE_AVAILABLE, NativePoseGraph
+            if NATIVE_AVAILABLE:
+                return NativePoseGraph()
+        except Exception:
+            pass
+    return PoseGraph()
+
+
 @dataclass
 class _Edge:
     a: int

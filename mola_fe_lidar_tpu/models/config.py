@@ -49,6 +49,10 @@ class Matcher:
     plane_eigen_threshold: float = 0.07
     run_from_iteration: int = 0
     run_up_to_iteration: int = 0
+    # kNN backend for point2plane_knn: approx_min_k (TPU top-k unit,
+    # ~96% recall, far cheaper) vs exact scan-merge. Exact is forced under
+    # tensor parallelism.
+    approx_knn: bool = True
 
 
 @dataclass(frozen=True)

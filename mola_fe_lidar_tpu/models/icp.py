@@ -86,7 +86,13 @@ def _match_one(
     # Dispatch single-device vs tensor-parallel (target point axis sharded)
     if shard_axis is None:
         nn1 = lambda: matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
-        nnk = lambda: matching_ops.knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn, tile=tile)
+        # approx_min_k rides the TPU top-k unit; its CPU fallback is slower
+        # than the exact tiled path, so approx is TPU-only (identical
+        # results on CPU either way — the fallback is exact).
+        if m.approx_knn and jax.default_backend() != "cpu":
+            nnk = lambda: matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
+        else:
+            nnk = lambda: matching_ops.knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn, tile=tile)
         gather = lambda arr, idx: jnp.take(arr, idx, axis=-2)
     else:
         nn1 = lambda: matching_ops.tp_nearest_neighbors(
