@@ -134,6 +134,9 @@ class MethodState:
     local_pose_graph: PoseGraph = field(default_factory=make_pose_graph)
     checked_KF_pairs: Set[Tuple[int, int]] = field(default_factory=set)
     mc_seed: int = 0
+    # append-only mirror of graph edges (a, b, R, t) — checkpointing works
+    # with either graph backend without exposing its internals
+    edge_log: list = field(default_factory=list)
 
 
 @MODULE_REGISTRY.register("LidarOdometry")
@@ -402,6 +405,9 @@ class LidarOdometry(FrontEndBase):
                 st.local_pose_graph.insert_edge(
                     st.last_kf, kf_id,
                     st.accum_since_last_kf_R, st.accum_since_last_kf_t)
+                st.edge_log.append((st.last_kf, kf_id,
+                                    st.accum_since_last_kf_R.copy(),
+                                    st.accum_since_last_kf_t.copy()))
         else:
             with self._state_lock:
                 st.local_pose_graph.insert_node(kf_id)
@@ -560,6 +566,7 @@ class LidarOdometry(FrontEndBase):
             wm.add_neighbors(cur_kf, other_kf)
         with self._state_lock:
             st.local_pose_graph.insert_edge(cur_kf, other_kf, Rn, tn)
+            st.edge_log.append((cur_kf, other_kf, Rn.copy(), tn.copy()))
         self.log.info("%s ACCEPTED: KF %s <-> %s goodness=%.2f",
                       "loop closure" if kind == "lc" else "nearby edge",
                       cur_kf, other_kf, goodness)

@@ -53,6 +53,9 @@ class Matcher:
     # ~96% recall, far cheaper) vs exact scan-merge. Exact is forced under
     # tensor parallelism.
     approx_knn: bool = True
+    # 1-NN backend: "xla" (tiled scan, MXU cross-term) or "pallas" (fused
+    # VPU difference-form kernel; TPU only — falls back to xla elsewhere).
+    nn_backend: str = "xla"
 
 
 @dataclass(frozen=True)

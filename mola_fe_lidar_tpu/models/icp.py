@@ -85,7 +85,15 @@ def _match_one(
 
     # Dispatch single-device vs tensor-parallel (target point axis sharded)
     if shard_axis is None:
-        nn1 = lambda: matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
+        if m.nn_backend == "pallas" and jax.default_backend() == "tpu":
+            from ..ops import pallas_nn
+
+            def nn1():
+                i, d = pallas_nn.pallas_nearest_neighbors(
+                    sp, src.mask, tgt.xyz, tgt.mask)
+                return matching_ops.NNResult(i, d)
+        else:
+            nn1 = lambda: matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
         # approx_min_k rides the TPU top-k unit; its CPU fallback is slower
         # than the exact tiled path, so approx is TPU-only (identical
         # results on CPU either way — the fallback is exact).

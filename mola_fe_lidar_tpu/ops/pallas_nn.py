@@ -1,17 +1,21 @@
 """Pallas fused nearest-neighbor kernel for TPU.
 
-The XLA path (``ops.matching``) lowers the tiled brute-force NN as a
-``lax.scan`` of (matmul → add norms → min/argmin) steps: each step writes
-its ``[N, tile]`` distance block to HBM-backed buffers between fusions.
-This kernel fuses the whole sweep: for one block of source points held in
-VMEM, it loops over all target tiles in-kernel, computing the cross-term on
-the MXU and folding the running (min, argmin) in registers/VMEM — the
-``[N, M]`` distance matrix never exists anywhere, and HBM traffic is the
-theoretical minimum (read each cloud once, write N results).
+The XLA path (``ops.matching``) computes distances via the norm expansion
+``‖s‖²+‖t‖²−2s·t`` (MXU cross term at HIGHEST precision) and scans tiles
+with HBM-backed carries. This kernel instead evaluates the **difference
+form** ``Σ_c (s_c − t_c)²`` directly on the VPU:
 
-Grid: one program per source block; batch rides a leading grid axis.
-Shapes padded to (8, 128) f32 tiles. Masked targets are +inf'd via the
-mask column trick; masked sources handled by the caller (``matching``).
+* exact f32 — no catastrophic cancellation, no multi-pass matmul emulation
+  (Mosaic's f32 MXU precision options are either bf16-one-pass, which is
+  too coarse for metric thresholds, or 6-pass HIGHEST);
+* fully fused: the ``[N, M]`` distance matrix never exists; per source
+  block the target cloud streams through VMEM once;
+* lane-native layouts: source points ride sublanes (block ``[BN, 128]``
+  with x,y,z in lanes 0–2), target points ride lanes (``[8, M]`` with
+  coords in sublanes 0–2), so the broadcast subtract needs no transposes;
+* the running champion is lane-resident ``[BN, 128]`` (value + absolute
+  column-group id); the final 128-way reduction happens outside the kernel
+  and fuses into consumers.
 """
 
 from __future__ import annotations
@@ -24,48 +28,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
+_PARK = 1e4  # parked coordinate for masked points
 
 
-def _nn_kernel(src_ref, tgt_ref, tmask_ref, dist_ref, idx_ref, *, tgt_tile: int):
-    """One source block [BN, 3pad] vs the whole target cloud [M, 3pad]."""
-    src = src_ref[:]                      # [BN, 8]  (coords padded to 8)
-    src_sq = jnp.sum(src * src, axis=-1, keepdims=True)  # [BN, 1]
-    m = tgt_ref.shape[0]
+def _nn_kernel(src_ref, tgt_ref, val_ref, grp_ref, *, tgt_tile: int):
+    """One source block vs the whole target cloud.
+
+    src_ref: [BN, 128] source block — x,y,z in lanes 0..2 (VMEM)
+    tgt_ref: [8, M]    target cloud — x,y,z in sublanes 0..2 (VMEM)
+    val_ref: [BN, 128] out — per-lane champion squared distance
+    grp_ref: [BN, 128] out — per-lane champion absolute column-group id
+    """
+    sx = src_ref[:, 0:1]  # [BN, 1]
+    sy = src_ref[:, 1:2]
+    sz = src_ref[:, 2:3]
+    m = tgt_ref.shape[1]
     n_tiles = m // tgt_tile
+    groups_per_tile = tgt_tile // 128
+    bn = sx.shape[0]
 
-    bn = src.shape[0]
-    best_d = jnp.full((bn, 1), _BIG, jnp.float32)
-    best_i = jnp.zeros((bn, 1), jnp.int32)
+    best_val = jnp.full((bn, 128), _BIG, jnp.float32)
+    best_grp = jnp.zeros((bn, 128), jnp.int32)
 
     def body(t, carry):
-        best_d, best_i = carry
-        tgt = tgt_ref[pl.ds(t * tgt_tile, tgt_tile), :]        # [T, 8]
-        tmask = tmask_ref[pl.ds(t * tgt_tile, tgt_tile), :]    # [T, 1]
-        cross = jax.lax.dot_general(
-            src, tgt,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                       # [BN, T]
-        tgt_sq = jnp.sum(tgt * tgt, axis=-1)[None, :]           # [1, T]
-        d2 = src_sq + tgt_sq - 2.0 * cross
-        d2 = jnp.where(tmask[:, 0][None, :] > 0.5, d2, _BIG)
-        tile_min = jnp.min(d2, axis=-1, keepdims=True)          # [BN, 1]
-        tile_arg = jnp.argmin(d2, axis=-1).astype(jnp.int32)[:, None] + t * tgt_tile
-        better = tile_min < best_d
-        return (jnp.where(better, tile_min, best_d),
-                jnp.where(better, tile_arg, best_i))
+        best_val, best_grp = carry
+        tx = tgt_ref[0:1, pl.ds(t * tgt_tile, tgt_tile)]  # [1, T]
+        ty = tgt_ref[1:2, pl.ds(t * tgt_tile, tgt_tile)]
+        tz = tgt_ref[2:3, pl.ds(t * tgt_tile, tgt_tile)]
+        dx = sx - tx                                       # [BN, T] broadcast
+        dy = sy - ty
+        dz = sz - tz
+        d2 = dx * dx + dy * dy + dz * dz
+        d3 = d2.reshape(bn, groups_per_tile, 128)
+        tile_val = jnp.min(d3, axis=1)                     # [BN, 128]
+        tile_g = jnp.argmin(d3, axis=1).astype(jnp.int32) + t * groups_per_tile
+        better = tile_val < best_val
+        return (jnp.where(better, tile_val, best_val),
+                jnp.where(better, tile_g, best_grp))
 
-    best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, (best_d, best_i))
-    dist_ref[:] = best_d
-    idx_ref[:] = best_i
-
-
-def _pad_pts(x, mult_rows):
-    """Pad [*, N, 3] → [*, N_pad, 8] (f32 tile-friendly lanes)."""
-    n = x.shape[-2]
-    pad_n = (-n) % mult_rows
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad_n), (0, 5)])
-    return x
+    best_val, best_grp = jax.lax.fori_loop(0, n_tiles, body, (best_val, best_grp))
+    val_ref[:] = best_val
+    grp_ref[:] = best_grp
 
 
 @functools.partial(jax.jit, static_argnames=("src_block", "tgt_tile"))
@@ -74,53 +77,57 @@ def pallas_nearest_neighbors(
     src_mask: jax.Array,  # [N]
     tgt: jax.Array,       # [M, 3]
     tgt_mask: jax.Array,  # [M]
-    src_block: int = 1024,
-    tgt_tile: int = 1024,
+    src_block: int = 512,
+    tgt_tile: int = 512,
 ):
-    """1-NN (squared-distance argmin) via the fused Pallas kernel.
+    """1-NN via the fused Pallas kernel.
 
-    Returns (idx i32[N], dist f32[N]) with the same contract as
-    ``matching.nearest_neighbors``. Shapes are padded internally.
+    Same contract as ``matching.nearest_neighbors``: masked targets never
+    win; masked source rows return a ~1e15 sentinel distance.
     """
     n, m = src.shape[-2], tgt.shape[-2]
-    # common centroid shift (see matching.py numerical note)
-    w_s = src_mask[:, None]
-    w_t = tgt_mask[:, None]
-    tot = jnp.maximum(jnp.sum(w_s) + jnp.sum(w_t), 1.0)
-    shift = (jnp.sum(src * w_s, axis=0) + jnp.sum(tgt * w_t, axis=0)) / tot
-    src_c = jnp.where(w_s > 0.5, src - shift, 0.0)
-    tgt_c = jnp.where(w_t > 0.5, tgt - shift, 0.0)
+    src_c = jnp.where(src_mask[:, None] > 0.5, src, 0.0)
+    tgt_c = jnp.where(tgt_mask[:, None] > 0.5, tgt, _PARK)
 
-    src_p = _pad_pts(src_c, src_block)
-    tgt_p = _pad_pts(tgt_c, tgt_tile)
-    n_pad, m_pad = src_p.shape[-2], tgt_p.shape[-2]
-    tmask_p = jnp.pad(tgt_mask, (0, m_pad - m))[:, None]
+    pad_n = (-n) % src_block
+    pad_m = (-m) % tgt_tile
+    src_p = jnp.pad(src_c, ((0, pad_n), (0, 0)))
+    tgt_p = jnp.pad(tgt_c, ((0, pad_m), (0, 0)), constant_values=_PARK)
+    n_pad, m_pad = n + pad_n, m + pad_m
+
+    src_lanes = jnp.zeros((n_pad, 128), jnp.float32).at[:, 0:3].set(src_p)
+    tgt_rows = jnp.zeros((8, m_pad), jnp.float32).at[0:3, :].set(tgt_p.T)
 
     grid = (n_pad // src_block,)
-    dist, idx = pl.pallas_call(
+    val, grp = pl.pallas_call(
         functools.partial(_nn_kernel, tgt_tile=tgt_tile),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((src_block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((src_block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((src_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((src_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((src_block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((src_block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * 8,
-            bytes_accessed=4 * (n_pad * 8 + (n_pad // src_block) * m_pad * 8 + n_pad * 2),
+            flops=9 * n_pad * m_pad,
+            bytes_accessed=4 * (128 * n_pad + (n_pad // src_block) * 8 * m_pad
+                                + n_pad * 256),
             transcendentals=0,
         ),
-    )(src_p, tgt_p, tmask_p)
+    )(src_lanes, tgt_rows)
 
-    d = dist[:n, 0]
-    i = idx[:n, 0]
-    d = jnp.where(src_mask > 0.5, d, _BIG)
-    return i, jnp.sqrt(jnp.maximum(d, 0.0))
+    # final 128-way reduction (fuses into consumers)
+    lane = jnp.argmin(val, axis=-1)
+    best = jnp.take_along_axis(val, lane[:, None], axis=-1)[:, 0]
+    group = jnp.take_along_axis(grp, lane[:, None], axis=-1)[:, 0]
+    idx = group * 128 + lane.astype(jnp.int32)
+    idx = idx[:n]
+    d2 = best[:n]
+    d2 = jnp.where(src_mask > 0.5, d2, _BIG)
+    return idx, jnp.sqrt(jnp.maximum(d2, 0.0))

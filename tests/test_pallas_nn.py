@@ -1,0 +1,71 @@
+"""Pallas fused NN kernel: correctness in interpret mode (CPU suite) and,
+when a TPU is present, compiled-vs-XLA agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mola_fe_lidar_tpu.ops.matching as matching
+import mola_fe_lidar_tpu.ops.pallas_nn as pnn
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.fixture
+def interp(monkeypatch):
+    """Force interpret mode so the kernel logic runs on CPU."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pnn.pl, "pallas_call", patched)
+    # interpret-mode runs are slow; clear the jit cache key via new sizes
+    return patched
+
+
+def clouds(rng, n=300, m=520, scale=30.0):
+    src = jnp.asarray((rng.standard_normal((n, 3)) * scale).astype(np.float32))
+    tgt = jnp.asarray((rng.standard_normal((m, 3)) * scale).astype(np.float32))
+    return src, tgt
+
+
+class TestPallasNNInterpret:
+    def test_matches_xla(self, rng, interp):
+        src, tgt = clouds(rng)
+        sm, tm = jnp.ones(src.shape[0]), jnp.ones(tgt.shape[0])
+        idx, dist = pnn.pallas_nearest_neighbors(src, sm, tgt, tm,
+                                                 src_block=128, tgt_tile=128)
+        ref = matching.nearest_neighbors(src, sm, tgt, tm)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.idx))
+        np.testing.assert_allclose(np.asarray(dist), np.asarray(ref.dist),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_masked_targets(self, rng, interp):
+        src = jnp.zeros((8, 3))
+        tgt = jnp.asarray(np.array([[0.01, 0, 0]] + [[5.0, 5, 5]] * 7, np.float32))
+        tm = jnp.asarray(np.array([0.0] + [1.0] * 7, np.float32))
+        idx, dist = pnn.pallas_nearest_neighbors(src, jnp.ones(8), tgt, tm,
+                                                 src_block=128, tgt_tile=128)
+        assert np.all(np.asarray(idx) != 0)
+
+    def test_masked_sources(self, rng, interp):
+        src, tgt = clouds(rng, n=10, m=130)
+        sm = jnp.asarray(np.array([1.0] * 9 + [0.0], np.float32))
+        idx, dist = pnn.pallas_nearest_neighbors(src, sm, tgt, jnp.ones(130),
+                                                 src_block=128, tgt_tile=128)
+        assert float(dist[9]) > 1e10
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs a real TPU")
+class TestPallasNNCompiled:
+    def test_compiled_agreement(self, rng):
+        src, tgt = clouds(rng, n=2048, m=2048)
+        sm, tm = jnp.ones(2048), jnp.ones(2048)
+        idx, dist = pnn.pallas_nearest_neighbors(src, sm, tgt, tm)
+        ref = matching.nearest_neighbors(src, sm, tgt, tm)
+        agree = float(jnp.mean((idx == ref.idx).astype(jnp.float32)))
+        assert agree > 0.999
