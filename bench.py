@@ -172,14 +172,18 @@ def bench_tpu(pairs):
         tgts = {"raw": normals_fn(tgt_xyz, tgt_mask)}
         return f_fast(srcs, tgts, init)
 
-    # warm/compile
+    # warm/compile; then honest per-call timing (readback each iteration —
+    # block_until_ready does not reliably await queued dispatches on
+    # tunneled backends, so each timed call fetches a small result)
     res = run_fast()
-    res.quality.block_until_ready()
-    t0 = time.perf_counter()
+    np.asarray(res.quality)
+    times = []
     for _ in range(ITERS_TIMED):
+        t0 = time.perf_counter()
         res = run_fast()
-    res.quality.block_until_ready()
-    rate_fast = b * ITERS_TIMED / (time.perf_counter() - t0)
+        np.asarray(res.quality)
+        times.append(time.perf_counter() - t0)
+    rate_fast = b / float(np.median(times))
 
     # accuracy of the headline path vs ground truth
     errs = []
@@ -193,12 +197,14 @@ def bench_tpu(pairs):
     from mola_fe_lidar_tpu.cloud.metric_map import PointCloud
     tgts_plain = {"raw": PointCloud(tgt_xyz, tgt_mask, {})}
     res_p = f_parity(srcs, tgts_plain, init)
-    res_p.quality.block_until_ready()
-    t0 = time.perf_counter()
+    np.asarray(res_p.quality)
+    times = []
     for _ in range(2):
+        t0 = time.perf_counter()
         res_p = f_parity(srcs, tgts_plain, init)
-    res_p.quality.block_until_ready()
-    rate_parity = b * 2 / (time.perf_counter() - t0)
+        np.asarray(res_p.quality)
+        times.append(time.perf_counter() - t0)
+    rate_parity = b / float(np.median(times))
 
     return rate_fast, rate_parity, min_q, max_err
 
