@@ -147,15 +147,9 @@ def bench_tpu(pairs):
     tgt_mask = jnp.ones((b, CAP), jnp.float32)
     init = se3.identity((b,))
 
-    normals_fn = jax.jit(jax.vmap(lambda x, m: _attach_normals_knn(x, m, 8)))
+    from mola_fe_lidar_tpu.models import align_pipeline, icp_coarse_to_fine
+    stages = icp_coarse_to_fine()
 
-    fast = ICPParams(
-        max_iterations=100, min_abs_step_trans=5e-5, min_abs_step_rot=1e-5,
-        matchers=(Matcher(kind="point2plane_normals", distance_threshold=1.5),),
-        solver=Solver(kind="gauss_newton", max_iterations=20),
-        quality=(Quality(threshold_distance=0.10),),
-        weights=PairWeights(use_scale_outlier_detector=False),
-    )
     parity = ICPParams(
         max_iterations=100, min_abs_step_trans=5e-5, min_abs_step_rot=1e-5,
         matchers=(Matcher(kind="point2plane_knn", distance_threshold=0.70,
@@ -165,12 +159,25 @@ def bench_tpu(pairs):
         weights=PairWeights(use_scale_outlier_detector=False),
     )
 
-    f_fast = make_batched_align(fast)
     f_parity = make_batched_align(parity)
 
+    # Production fast path: fused normals precompute + 2-stage coarse-to-fine
+    # pipeline, scanned in 16-pair chunks so one slow pair cannot stall the
+    # whole batch at max_iterations.
+    @jax.jit
+    def run_fast_impl(tgt_xyz_, tgt_mask_, srcs_, init_):
+        tgts_ = {"raw": jax.vmap(lambda x, m: _attach_normals_knn(x, m, 8))(
+            tgt_xyz_, tgt_mask_)}
+        chunk = 16
+        bb = init_.t.shape[0]
+        rs = lambda x: x.reshape(bb // chunk, chunk, *x.shape[1:])
+        args = jax.tree.map(rs, (srcs_, tgts_, init_))
+        inner = jax.vmap(lambda s, t, g: align_pipeline(s, t, g, stages))
+        _, out = jax.lax.scan(lambda _, xs: (None, inner(*xs)), None, args)
+        return jax.tree.map(lambda x: x.reshape(bb, *x.shape[2:]), out)
+
     def run_fast():
-        tgts = {"raw": normals_fn(tgt_xyz, tgt_mask)}
-        return f_fast(srcs, tgts, init)
+        return run_fast_impl(tgt_xyz, tgt_mask, srcs, init)
 
     # warm/compile; then honest per-call timing (readback each iteration —
     # block_until_ready does not reliably await queued dispatches on

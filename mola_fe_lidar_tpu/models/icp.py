@@ -310,3 +310,30 @@ def align_pipeline(
         result = align(src_map, tgt_map, pose, st)
         pose = result.pose
     return result
+
+
+def align_with_normal_precompute(
+    src_map: MetricMap,
+    tgt_map: MetricMap,
+    init_pose: se3.Pose,
+    params: ICPParams,
+    normals_k: int = 8,
+) -> ICPResult:
+    """``align`` with target normals computed inside the same jitted program.
+
+    For every ``point2plane_normals`` matcher whose target layer lacks a
+    ``normal`` attr, a kNN eigen-fit normal precompute runs on device first —
+    fusing what would otherwise be two dispatches (filter + align) into one.
+    This is the production odometry fast path: per new scan, normals are
+    computed once and the scan is aligned against the previous one.
+    """
+    from ..filters.pipeline import _attach_normals_knn
+
+    tgt_map = dict(tgt_map)
+    for m in params.matchers:
+        if m.kind == "point2plane_normals":
+            layer = tgt_map[m.tgt_layer]
+            if "normal" not in layer.attrs:
+                tgt_map[m.tgt_layer] = _attach_normals_knn(
+                    layer.xyz, layer.mask, normals_k)
+    return align(src_map, tgt_map, init_pose, params)

@@ -54,6 +54,38 @@ def icp_settings_loop_closure(
     return icp_settings_regular(src_layer, tgt_layer, matcher_kind)
 
 
+def icp_coarse_to_fine(
+    tgt_layer: str = "raw",
+    src_layer: str = "raw",
+    coarse_threshold: float = 5.0,
+    fine_threshold: float = 1.0,
+):
+    """Two-stage coarse-to-fine pipeline (the decimation-pyramid pattern;
+    BASELINE config #3): a short wide-radius point-to-point stage rescues
+    bad initializations, then point-to-plane polishes. Use with
+    ``models.align_pipeline``. Low iteration caps keep batched while_loops
+    from being hostage to one straggler pair."""
+    coarse = ICPParams(
+        max_iterations=10,
+        matchers=(Matcher(kind="point2point", src_layer=src_layer,
+                          tgt_layer=tgt_layer,
+                          distance_threshold=coarse_threshold),),
+        solver=Solver(kind="horn"),
+        quality=(Quality(src_layer=src_layer, tgt_layer=tgt_layer),),
+        weights=PairWeights(use_scale_outlier_detector=False),
+    )
+    fine = ICPParams(
+        max_iterations=30,
+        matchers=(Matcher(kind="point2plane_normals", src_layer=src_layer,
+                          tgt_layer=tgt_layer,
+                          distance_threshold=fine_threshold),),
+        solver=Solver(kind="gauss_newton", max_iterations=10),
+        quality=(Quality(src_layer=src_layer, tgt_layer=tgt_layer),),
+        weights=PairWeights(use_scale_outlier_detector=False),
+    )
+    return (coarse, fine)
+
+
 def icp_cases_kitti(
     src_layer: str = "raw", tgt_layer: str = "raw", matcher_kind: str = "point2plane_knn"
 ) -> Dict[AlignKind, ICPParams]:

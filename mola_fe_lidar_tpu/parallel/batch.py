@@ -75,3 +75,32 @@ def monte_carlo_guesses(
     perturb = jax.vmap(se3.exp)(tau)
     center_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_samples, *x.shape)), center)
     return se3.compose(perturb, center_b)
+
+
+def make_chunked_batched_align(params: ICPParams, chunk: int = 16):
+    """Batched align that scans over chunks of ``chunk`` pairs.
+
+    Under one big vmap, a single slow-converging pair stalls the WHOLE
+    batch at ``max_iterations`` (the while_loop runs until every element
+    converges). Scanning vmapped chunks bounds the blast radius of a
+    straggler to its chunk: total time = Σ chunk times, and healthy chunks
+    exit after a handful of iterations. Batch size must divide by ``chunk``.
+    """
+    inner = jax.vmap(lambda s, t, g: align(s, t, g, params))
+
+    @jax.jit
+    def run(src_maps, tgt_maps, init_poses):
+        b = jax.tree.leaves(init_poses)[0].shape[0]
+        if b % chunk:
+            raise ValueError(f"batch {b} not divisible by chunk {chunk}")
+        reshape = lambda x: x.reshape(b // chunk, chunk, *x.shape[1:])
+        args = jax.tree.map(reshape, (src_maps, tgt_maps, init_poses))
+
+        def step(_, xs):
+            s, t, g = xs
+            return None, inner(s, t, g)
+
+        _, out = jax.lax.scan(step, None, args)
+        return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), out)
+
+    return run
