@@ -191,6 +191,8 @@ class LidarOdometry(FrontEndBase):
         p.max_KFs_local_graph = int(g("max_KFs_local_graph", p.max_KFs_local_graph))
         p.viz_decor_decimation = int(g("viz_decor_decimation", p.viz_decor_decimation))
         p.viz_decor_pointsize = float(g("viz_decor_pointsize", p.viz_decor_pointsize))
+        p.max_queue_length = int(g("max_queue_length", p.max_queue_length))
+        p.max_correction_ratio = float(g("max_correction_ratio", p.max_correction_ratio))
 
         # The three ICP cases (reference :122-128)
         self.icp_cases = {}
@@ -288,6 +290,13 @@ class LidarOdometry(FrontEndBase):
             this_points = self.filter_pipeline(this_points)
             prof.leave("doProcess.filter")
 
+            # scan sanity gate: a non-finite or empty cloud must not poison
+            # the pipeline state (NaNs would silently zero every later ICP)
+            if not self._cloud_is_sane(this_points):
+                prof.register_user_measure("doProcess.drop_insane_scan", 1)
+                self.log.error_throttle(1.0, "Dropping degenerate scan (empty/non-finite)")
+                return
+
             last_points = st.last_points
             last_tim = st.last_obs_tim
             st.last_points = this_points
@@ -358,6 +367,17 @@ class LidarOdometry(FrontEndBase):
                 self.check_for_nearby_kfs()
         finally:
             prof.leave("doProcessNewObservation")
+
+    @staticmethod
+    def _cloud_is_sane(mm: MetricMap, min_points: int = 10) -> bool:
+        total = 0
+        for pc in mm.values():
+            masked_sum = float(jnp.sum(jnp.where(pc.mask[..., None] > 0.5,
+                                                 pc.xyz, 0.0)))
+            if not np.isfinite(masked_sum):
+                return False
+            total += int(pc.count())
+        return total >= min_points
 
     # ------------------------------------------------------------------
     def _create_keyframe(self, tim: float, points: MetricMap) -> None:

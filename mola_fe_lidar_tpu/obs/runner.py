@@ -163,6 +163,10 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-side", type=float, default=0.0,
                     help="loop/circle size; 0 = auto-size so step ~= speed/rate")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output")
+    ap.add_argument("--profile", action="store_true",
+                    help="print the hierarchical profiler report after replay")
+    ap.add_argument("--viz-out", type=str, default=None,
+                    help="export trajectory + keyframe clouds as PLY to this dir")
     args = ap.parse_args(argv)
 
     cfg = load_yaml(args.config) if args.config else DEFAULT_CFG
@@ -189,6 +193,12 @@ def main(argv=None) -> int:
     if args.out:
         save_trajectory_tum(args.out, res["kf_poses"], res["backend"])
         print(f"trajectory written to {args.out}")
+    if args.viz_out:
+        from .viz import export_run
+        export_run(args.viz_out, res["module"])
+        print(f"PLY exports written to {args.viz_out}")
+    if args.profile:
+        print(res["module"].profiler.report())
     return 0
 
 
