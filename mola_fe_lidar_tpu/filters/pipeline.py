@@ -343,3 +343,54 @@ def _attach_normals(xyz, mask, res, max_voxels) -> PointCloud:
         {"normal": jnp.take(pt_n, inv, axis=0),
          "planarity": jnp.take(pt_p, inv)[:, None]},
     )
+
+
+@FILTER_REGISTRY.register("FilterGICPCovariances")
+class FilterGICPCovariances:
+    """Attach per-point GICP surface covariances (model family: Generalized
+    ICP / plane-to-plane). Each point's neighborhood covariance is
+    regularized to ``C = I − (1−ε)·n nᵀ`` (unit spread in-plane, ε across) —
+    the standard GICP surface model — stored flat as attr ``cov`` [N, 9].
+    Apply to BOTH clouds that will be aligned with the ``gicp`` matcher.
+    """
+
+    def __init__(self, input_layer="raw", output_layer=None, knn=10,
+                 epsilon=1e-3):
+        self.input_layer = input_layer
+        self.output_layer = output_layer or input_layer
+        self.knn = int(knn)
+        self.epsilon = float(epsilon)
+
+    def __call__(self, mm: MetricMap) -> MetricMap:
+        pc = mm[self.input_layer]
+        out = _attach_gicp_covs(pc.xyz, pc.mask, self.knn, self.epsilon)
+        mm = dict(mm)
+        mm[self.output_layer] = out
+        return mm
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _attach_gicp_covs(xyz, mask, k, epsilon) -> PointCloud:
+    from ..ops import matching as _matching
+    if jax.default_backend() != "cpu":
+        nn = _matching.approx_knn(xyz, mask, xyz, mask, k=k)
+    else:
+        nn = _matching.knn(xyz, mask, xyz, mask, k=k)
+    neigh = jnp.take(xyz, nn.idx, axis=-2)
+    valid = (nn.dist < 1e9).astype(xyz.dtype)
+    cnt = jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
+    centroid = jnp.sum(neigh * valid[..., None], axis=-2) / cnt[..., None]
+    d = (neigh - centroid[..., None, :]) * valid[..., None]
+    cov = jnp.einsum("...ki,...kj->...ij", d, d, precision="highest") / cnt[..., None, None]
+    evs = eigen3.sym_eigenvalues_3x3(cov)
+    n = eigen3.smallest_eigenvector_3x3(cov, evs)
+    I = jnp.eye(3, dtype=xyz.dtype)
+    C = I - (1.0 - epsilon) * n[..., :, None] * n[..., None, :]
+    attrs = dict()
+    attrs["cov"] = C.reshape(*C.shape[:-2], 9)
+    # keep normals too — costs nothing and lets mixed matchers share a layer
+    attrs["normal"] = n
+    attrs["planarity"] = jnp.clip(
+        1.0 - evs[..., 0] / jnp.maximum(evs[..., 1], 1e-9), 0.0, 1.0
+    )[..., None] * (cnt >= 4.0)[..., None]
+    return PointCloud(xyz, mask, attrs)

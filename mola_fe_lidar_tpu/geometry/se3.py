@@ -70,8 +70,13 @@ def _sinc_coeffs(theta_sq: jax.Array):
 
     Uses Taylor expansions below a cutoff; both branches are evaluated on
     sanitized inputs so gradients stay finite.
+
+    The cutoff must be generous in f32: ``1 - cos(θ)`` underflows to 0 for
+    θ ≲ 3e-4 (θ²/2 < f32 eps), which would make B exactly 0 and poison any
+    downstream division. θ² < 1e-5 keeps the exact branch well away from
+    that cliff while the Taylor error stays ≤ 1e-12 relative.
     """
-    small = theta_sq < 1e-8
+    small = theta_sq < 1e-5
     safe_sq = jnp.where(small, 1.0, theta_sq)
     theta = jnp.sqrt(safe_sq)
     A_exact = jnp.sin(theta) / theta
@@ -103,7 +108,7 @@ def so3_log(R: jax.Array) -> jax.Array:
     theta = jnp.arccos(cos_theta)
     # Generic branch: w = θ/(2 sinθ) * vee(R - Rᵀ)
     sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
+    small = theta < 1e-3  # f32: arccos/trace lose θ below ~1e-3
     near_pi = theta > jnp.pi - 1e-3
     safe_sin = jnp.where(small | near_pi, 1.0, sin_theta)
     skew = vee(R - jnp.swapaxes(R, -1, -2))
@@ -154,7 +159,8 @@ def log(pose: Pose) -> jax.Array:
     W = hat(w)
     W2 = W @ W
     # V⁻¹ = I - ½W + (1/θ²)(1 - A/(2B)) W²   (small-θ: 1/12 + θ²/720)
-    small = theta_sq < 1e-8
+    # f32-safe cutoff — see _sinc_coeffs
+    small = theta_sq < 1e-5
     safe_sq = jnp.where(small, 1.0, theta_sq)
     coef_exact = (1.0 - A / (2.0 * B)) / safe_sq
     coef_taylor = 1.0 / 12.0 + theta_sq / 720.0

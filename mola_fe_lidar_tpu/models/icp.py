@@ -127,6 +127,28 @@ def _match_one(
         w = src.mask * (nn.dist < m.distance_threshold) * gate * act
         return _Pairings(src.xyz, q, normals, w, True)
 
+    if m.kind == "gicp":
+        # Generalized ICP (plane-to-plane): residual whitened by the combined
+        # surface covariance S = C_q + R C_p Rᵀ. With M = chol(S), the rows
+        # of M⁻¹ are whitening directions: Σₖ lₖlₖᵀ = S⁻¹, so each pairing
+        # contributes 3 "plane" rows with non-unit normals lₖ whose magnitude
+        # carries the information weight — the existing GN consumes them
+        # unchanged. Both layers need FilterGICPCovariances 'cov' attrs.
+        nn = nn1()
+        q = gather(tgt.xyz, nn.idx)
+        Cq = gather(tgt.attrs["cov"], nn.idx).reshape(*q.shape[:-1], 3, 3)
+        Cp = src.attrs["cov"].reshape(*src.xyz.shape[:-1], 3, 3)
+        Cp_rot = jnp.einsum("ij,...jk,lk->...il", pose.R, Cp, pose.R,
+                            precision="highest")
+        S = Cq + Cp_rot
+        Minv = eigen3.invert_lower_3x3(eigen3.cholesky_3x3(S))
+        w1 = src.mask * (nn.dist < m.distance_threshold) * act
+        n3 = Minv.reshape(-1, 3)                       # rows of M⁻¹, [3N,3]
+        p3 = jnp.repeat(src.xyz, 3, axis=-2)
+        q3 = jnp.repeat(q, 3, axis=-2)
+        w3 = jnp.repeat(w1, 3, axis=-1)
+        return _Pairings(p3, q3, n3, w3, True)
+
     if m.kind == "point2plane_knn":
         nn = nnk()
         neigh = gather(tgt.xyz, nn.idx)  # [N,k,3]

@@ -72,3 +72,40 @@ def smallest_eigenvector_3x3(A: jax.Array, eigenvalues: jax.Array | None = None)
     fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=A.dtype), v.shape)
     v = jnp.where(ok[..., None], v / jnp.where(ok[..., None], n, 1.0), fallback)
     return v
+
+
+def cholesky_3x3(A: jax.Array, jitter: float = 1e-9) -> jax.Array:
+    """Closed-form lower Cholesky of SPD [...,3,3] — pure element-wise VPU
+    math (no lax.linalg loop kernels), arbitrarily batched."""
+    a00 = jnp.maximum(A[..., 0, 0], jitter)
+    l00 = jnp.sqrt(a00)
+    l10 = A[..., 1, 0] / l00
+    l20 = A[..., 2, 0] / l00
+    d11 = jnp.maximum(A[..., 1, 1] - l10 * l10, jitter)
+    l11 = jnp.sqrt(d11)
+    l21 = (A[..., 2, 1] - l20 * l10) / l11
+    d22 = jnp.maximum(A[..., 2, 2] - l20 * l20 - l21 * l21, jitter)
+    l22 = jnp.sqrt(d22)
+    zero = jnp.zeros_like(l00)
+    return jnp.stack([
+        jnp.stack([l00, zero, zero], axis=-1),
+        jnp.stack([l10, l11, zero], axis=-1),
+        jnp.stack([l20, l21, l22], axis=-1),
+    ], axis=-2)
+
+
+def invert_lower_3x3(L: jax.Array) -> jax.Array:
+    """Inverse of a lower-triangular [...,3,3] (closed form)."""
+    l00, l11, l22 = L[..., 0, 0], L[..., 1, 1], L[..., 2, 2]
+    i00 = 1.0 / l00
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i10 = -L[..., 1, 0] * i00 * i11
+    i20 = (L[..., 1, 0] * L[..., 2, 1] - L[..., 2, 0] * l11) * i00 * i11 * i22
+    i21 = -L[..., 2, 1] * i11 * i22
+    zero = jnp.zeros_like(i00)
+    return jnp.stack([
+        jnp.stack([i00, zero, zero], axis=-1),
+        jnp.stack([i10, i11, zero], axis=-1),
+        jnp.stack([i20, i21, i22], axis=-1),
+    ], axis=-2)
