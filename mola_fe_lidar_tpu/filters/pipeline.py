@@ -394,3 +394,46 @@ def _attach_gicp_covs(xyz, mask, k, epsilon) -> PointCloud:
         1.0 - evs[..., 0] / jnp.maximum(evs[..., 1], 1e-9), 0.0, 1.0
     )[..., None] * (cnt >= 4.0)[..., None]
     return PointCloud(xyz, mask, attrs)
+
+
+@FILTER_REGISTRY.register("FilterDeskew")
+class FilterDeskew:
+    """Motion compensation: unwarp points captured while the sensor moved.
+
+    Given the current twist estimate (rad/s, m/s) and a per-point ``time``
+    attr in [0, 1] (fraction of the scan period, 0 = scan start), each point
+    is re-expressed at the scan-end pose: ``p' = exp((t_i − 1)·T·ξ)⁻¹ … ``
+    — implemented as a batched se(3) exp over all points (one fused VPU
+    pass; no per-point host work). The twist is injected per scan by the
+    front-end via :meth:`set_twist`.
+    """
+
+    def __init__(self, input_layer="raw", output_layer=None, scan_period=0.1):
+        self.input_layer = input_layer
+        self.output_layer = output_layer or input_layer
+        self.scan_period = float(scan_period)
+        self._twist = jnp.zeros(6)
+
+    def set_twist(self, twist) -> None:
+        self._twist = jnp.asarray(twist, jnp.float32)
+
+    def __call__(self, mm: MetricMap) -> MetricMap:
+        pc = mm[self.input_layer]
+        if "time" not in pc.attrs:
+            return mm  # nothing to deskew
+        out = _deskew(pc, self._twist, self.scan_period)
+        mm = dict(mm)
+        mm[self.output_layer] = out
+        return mm
+
+
+@jax.jit
+def _deskew(pc: PointCloud, twist, period) -> PointCloud:
+    from ..geometry import se3
+    t_frac = pc.attrs["time"][..., 0]                   # [N] in [0,1]
+    tau = (t_frac - 1.0)[:, None] * (twist * period)    # [N,6] per-point delta
+    poses = se3.exp(tau)                                # batched exp
+    xyz = jnp.einsum("nij,nj->ni", poses.R, pc.xyz, precision="highest") + poses.t
+    xyz = jnp.where(pc.mask[:, None] > 0.5, xyz, 1e6)
+    attrs = {k: v for k, v in pc.attrs.items()}
+    return PointCloud(xyz, pc.mask, attrs)

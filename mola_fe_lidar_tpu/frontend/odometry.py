@@ -49,6 +49,7 @@ from ..models.config import AlignKind, ICPParams
 from ..models.icp import ICPResult, align
 from ..parallel.batch import monte_carlo_guesses
 from ..utils.config import DEG2RAD, yaml_get
+from ..utils.profiler import ProfilerEntry as ProfilerEntryCtx
 from .backend import (
     AdvertiseLocalization, FactorRelativePose3, ProposeKFInput,
 )
@@ -233,6 +234,16 @@ class LidarOdometry(FrontEndBase):
         """Snapshot accessor (reference stateCopy(), LidarOdometry.h:163)."""
         with self._state_lock:
             return dataclasses.replace(self.state)
+
+    def spin_once(self) -> None:
+        """Periodic heartbeat (reference src/LidarOdometry.cpp:150-158 keeps
+        this empty; here it flushes queue-depth metrics)."""
+        with ProfilerEntryCtx(self.profiler, "spinOnce"):
+            with self._pending_lock:
+                self.profiler.register_user_measure(
+                    "spinOnce.pending_scans", self._pending)
+                self.profiler.register_user_measure(
+                    "spinOnce.nearby_inflight", self._nearby_inflight)
 
     # ------------------------------------------------------------------
     # observation intake (reference :162-187)

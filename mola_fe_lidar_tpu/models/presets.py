@@ -86,6 +86,25 @@ def icp_coarse_to_fine(
     return (coarse, fine)
 
 
+def icp_pyramid_3level(tgt_layer: str = "raw", src_layer: str = "raw"):
+    """Three-level coarse-to-fine decimation-pyramid ICP (BASELINE config #3):
+    very-wide point-to-point -> mid point-to-point -> fine point-to-plane."""
+    mk = lambda thresh, iters, kind, solver: ICPParams(
+        max_iterations=iters,
+        matchers=(Matcher(kind=kind, src_layer=src_layer, tgt_layer=tgt_layer,
+                          distance_threshold=thresh),),
+        solver=solver,
+        quality=(Quality(src_layer=src_layer, tgt_layer=tgt_layer),),
+        weights=PairWeights(use_scale_outlier_detector=False),
+    )
+    return (
+        mk(10.0, 8, "point2point", Solver(kind="horn")),
+        mk(3.0, 10, "point2point", Solver(kind="horn")),
+        mk(1.0, 25, "point2plane_normals",
+           Solver(kind="gauss_newton", max_iterations=10)),
+    )
+
+
 def icp_cases_kitti(
     src_layer: str = "raw", tgt_layer: str = "raw", matcher_kind: str = "point2plane_knn"
 ) -> Dict[AlignKind, ICPParams]:
