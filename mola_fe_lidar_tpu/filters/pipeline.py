@@ -417,11 +417,12 @@ class FilterDeskew:
     def set_twist(self, twist) -> None:
         self._twist = jnp.asarray(twist, jnp.float32)
 
-    def __call__(self, mm: MetricMap) -> MetricMap:
+    def __call__(self, mm: MetricMap, twist=None) -> MetricMap:
         pc = mm[self.input_layer]
         if "time" not in pc.attrs:
             return mm  # nothing to deskew
-        out = _deskew(pc, self._twist, self.scan_period)
+        tw = self._twist if twist is None else twist
+        out = _deskew(pc, tw, self.scan_period)
         mm = dict(mm)
         mm[self.output_layer] = out
         return mm

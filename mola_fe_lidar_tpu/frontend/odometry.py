@@ -45,6 +45,7 @@ from ..cloud.metric_map import MetricMap
 from ..filters.base import FilterPipeline
 from ..filters.generators import apply_generators, generators_from_config
 from ..geometry import se3
+from ..geometry import se3_np
 from ..models.config import AlignKind, ICPParams
 from ..models.icp import ICPResult, align
 from ..parallel.batch import monte_carlo_guesses
@@ -59,6 +60,58 @@ from .pose_graph import PoseGraph, make_pose_graph
 from .worldmodel import (
     ANNOTATION_NAME_PC_LAYERS, ANNOTATION_NAME_RENDER_DECORATION, WorldModel,
 )
+
+
+# Global jit-product caches keyed by *configuration*, not module instance —
+# a fresh LidarOdometry with the same filters/params reuses compiled programs.
+_FUSED_STEP_CACHE: Dict[tuple, Any] = {}
+_PACKED_ALIGN_CACHE: Dict[ICPParams, Any] = {}
+
+
+def _filters_cache_key(filters) -> tuple:
+    key = []
+    for f in filters:
+        items = tuple(sorted(
+            (k, v) for k, v in vars(f).items()
+            if isinstance(v, (int, float, str, bool, tuple))))
+        key.append((type(f).__name__, items))
+    return tuple(key)
+
+
+def _pack_icp_result(res: ICPResult) -> jax.Array:
+    """Flatten an ICPResult into one f32 vector so the host needs a single
+    readback per scan (each fetch pays a full round trip on remote TPUs)."""
+    return jnp.concatenate([
+        res.pose.R.reshape(9), res.pose.t.reshape(3), res.cov.reshape(36),
+        jnp.stack([res.quality,
+                   res.n_iterations.astype(jnp.float32),
+                   res.term_reason.astype(jnp.float32)]),
+    ])
+
+
+def _unpack_icp_result(flat: np.ndarray) -> "ICPOutput":
+    R = np.asarray(flat[:9], np.float64).reshape(3, 3)
+    t = np.asarray(flat[9:12], np.float64)
+    cov = np.asarray(flat[12:48], np.float64).reshape(6, 6)
+    quality = float(flat[48])
+    return ICPOutput(
+        success=bool(np.isfinite(quality)),
+        goodness=quality if np.isfinite(quality) else 0.0,
+        found_pose_to_wrt_from=se3.Pose(R.astype(np.float32), t.astype(np.float32)),
+        cov=cov, n_iterations=int(flat[49]))
+
+
+def _get_packed_align(params: ICPParams):
+    if params not in _PACKED_ALIGN_CACHE:
+        from ..models.icp import align as _align
+
+        @jax.jit
+        def f(to_pc, from_pc, guess_R, guess_t):
+            res = _align(to_pc, from_pc, se3.Pose(guess_R, guess_t), params)
+            return _pack_icp_result(res)
+
+        _PACKED_ALIGN_CACHE[params] = f
+    return _PACKED_ALIGN_CACHE[params]
 
 
 # -- host-side pose helpers (numpy; graph bookkeeping stays off-device) ----
@@ -93,6 +146,9 @@ class LidarOdometryParameters:
     # non-LC acceptance: correction must be < this fraction of the initial
     # guess norm (reference gate at :809-816)
     max_correction_ratio: float = 0.2
+    # fuse filter pipeline + odometry ICP into ONE device dispatch per scan
+    # (big win when every dispatch pays host<->device latency)
+    fused_scan_step: bool = True
 
 
 @dataclass
@@ -160,6 +216,8 @@ class LidarOdometry(FrontEndBase):
         self._pending_lock = threading.Lock()
         self._nearby_inflight = 0
         self._drops = 0
+        self._fused_cache: Dict[AlignKind, Any] = {}
+        self._fused_ok = True
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -194,6 +252,8 @@ class LidarOdometry(FrontEndBase):
         p.viz_decor_pointsize = float(g("viz_decor_pointsize", p.viz_decor_pointsize))
         p.max_queue_length = int(g("max_queue_length", p.max_queue_length))
         p.max_correction_ratio = float(g("max_correction_ratio", p.max_correction_ratio))
+        p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
+        self._fused_cache = {}
 
         # The three ICP cases (reference :122-128)
         self.icp_cases = {}
@@ -293,52 +353,92 @@ class LidarOdometry(FrontEndBase):
                     prof.register_user_measure("doProcess.skip_too_soon", 1)
                     return
 
-            # generators + filters (reference :215-224) — the device ingest
+            # generators (host->device ingest, reference :215-217)
             prof.enter("doProcess.generators")
-            this_points = apply_generators(self.generators, obs)
+            raw_map = apply_generators(self.generators, obs)
             prof.leave("doProcess.generators")
-            prof.enter("doProcess.filter")
-            this_points = self.filter_pipeline(this_points)
-            prof.leave("doProcess.filter")
-
-            # scan sanity gate: a non-finite or empty cloud must not poison
-            # the pipeline state (NaNs would silently zero every later ICP)
-            if not self._cloud_is_sane(this_points):
-                prof.register_user_measure("doProcess.drop_insane_scan", 1)
-                self.log.error_throttle(1.0, "Dropping degenerate scan (empty/non-finite)")
-                return
 
             last_points = st.last_points
             last_tim = st.last_obs_tim
+
+            icp_out = None
+            this_points = None
+            if last_points is not None:
+                dt = tim - (last_tim or tim)
+                # velocity-model prior (reference :264-275; full se(3) twist)
+                # — host-side numpy exp: no device dispatch for a 6-vector
+                if st.twist_is_good and dt > 0:
+                    gR, gt_ = se3_np.exp(st.twist * dt)
+                    kind = AlignKind.LIDAR_ODOMETRY
+                else:
+                    gR, gt_ = np.eye(3), np.zeros(3)
+                    kind = AlignKind.NEARBY_ALIGN  # without-vel set (ref :287-290)
+                guess_R = jnp.asarray(gR, jnp.float32)
+                guess_t = jnp.asarray(gt_, jnp.float32)
+
+                if self.params.fused_scan_step and self._fused_ok:
+                    # ONE dispatch + ONE readback (see _get_fused_step)
+                    try:
+                        prof.enter("doProcess.fused_step")
+                        mm, flat = self._get_fused_step(kind)(
+                            raw_map, last_points, guess_R, guess_t,
+                            jnp.asarray(st.twist, jnp.float32))
+                        flat = np.asarray(flat)  # the single readback
+                        prof.leave("doProcess.fused_step")
+                        total, finite = float(flat[51]), float(flat[52])
+                        if finite < 0.5 or total < 10.0:
+                            prof.register_user_measure("doProcess.drop_insane_scan", 1)
+                            self.log.error_throttle(
+                                1.0, "Dropping degenerate scan (empty/non-finite)")
+                            return
+                        this_points = mm
+                        icp_out = _unpack_icp_result(flat)
+                    except Exception:  # noqa: BLE001 — fall back once, permanently
+                        prof.leave("doProcess.fused_step")
+                        self._fused_ok = False
+                        self.log.warning(
+                            "fused scan step failed to trace; using unfused path",
+                            exc_info=True)
+
+                if icp_out is None:  # unfused fallback
+                    prof.enter("doProcess.filter")
+                    this_points = self.filter_pipeline(raw_map)
+                    prof.leave("doProcess.filter")
+                    if not self._cloud_is_sane(this_points):
+                        prof.register_user_measure("doProcess.drop_insane_scan", 1)
+                        self.log.error_throttle(
+                            1.0, "Dropping degenerate scan (empty/non-finite)")
+                        return
+                    icp_out = self.run_one_icp(ICPInput(
+                        align_kind=kind, to_id=-1, from_id=-1,
+                        to_pc=this_points, from_pc=last_points,
+                        init_guess_to_wrt_from=se3.Pose(guess_R, guess_t),
+                        debug_str="icp_latest",
+                    ))
+            else:
+                prof.enter("doProcess.filter")
+                this_points = self.filter_pipeline(raw_map)
+                prof.leave("doProcess.filter")
+                if not self._cloud_is_sane(this_points):
+                    prof.register_user_measure("doProcess.drop_insane_scan", 1)
+                    self.log.error_throttle(
+                        1.0, "Dropping degenerate scan (empty/non-finite)")
+                    return
+
             st.last_points = this_points
             st.last_obs_tim = tim
 
             create_keyframe = False
-            rel_np: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
             if last_points is None:
                 create_keyframe = True  # first scan (reference :250-257)
             else:
-                dt = tim - (last_tim or tim)
-                # velocity-model prior (reference :264-275; full se(3) twist)
-                if st.twist_is_good and dt > 0:
-                    guess = se3.exp(jnp.asarray(st.twist * dt, jnp.float32))
-                    kind = AlignKind.LIDAR_ODOMETRY
-                else:
-                    guess = se3.identity()
-                    kind = AlignKind.NEARBY_ALIGN  # without-vel set (ref :287-290)
-
-                icp_out = self.run_one_icp(ICPInput(
-                    align_kind=kind, to_id=-1, from_id=-1,
-                    to_pc=this_points, from_pc=last_points,
-                    init_guess_to_wrt_from=guess, debug_str="icp_latest",
-                ))
 
                 R, t = _np_pose(icp_out.found_pose_to_wrt_from)
-                # twist update (reference :305-311; omega part included)
+                # twist update (reference :305-311; omega part included) —
+                # numpy log: no device dispatch for host bookkeeping
                 if dt > 0 and icp_out.success:
-                    tau = np.asarray(se3.log(icp_out.found_pose_to_wrt_from), np.float64)
-                    st.twist = tau / dt
+                    st.twist = se3_np.log(R, t) / dt
                 st.twist_is_good = (
                     icp_out.success and icp_out.goodness >= self.params.min_icp_goodness
                 )
@@ -349,9 +449,7 @@ class LidarOdometry(FrontEndBase):
                     st.accum_since_last_kf_R @ t + st.accum_since_last_kf_t,
                 )
                 dist = float(np.linalg.norm(st.accum_since_last_kf_t))
-                rot = float(se3.rotation_angle(
-                    se3.Pose(jnp.asarray(st.accum_since_last_kf_R, jnp.float32),
-                             jnp.asarray(st.accum_since_last_kf_t, jnp.float32))))
+                rot = se3_np.rotation_angle(st.accum_since_last_kf_R)
                 # KF decision (reference :333-337)
                 create_keyframe = icp_out.goodness > self.params.min_icp_goodness and (
                     dist > self.params.min_dist_xyz_between_keyframes
@@ -368,8 +466,9 @@ class LidarOdometry(FrontEndBase):
                 self.slam_backend.advertise_updated_localization(
                     AdvertiseLocalization(
                         timestamp=tim, reference_kf=st.last_kf,
-                        pose=_jx_pose(st.accum_since_last_kf_R,
-                                      st.accum_since_last_kf_t)))
+                        pose=se3.Pose(
+                            st.accum_since_last_kf_R.astype(np.float32),
+                            st.accum_since_last_kf_t.astype(np.float32))))
 
             # search for extra edges (reference :496-508)
             with self._state_lock:
@@ -378,6 +477,43 @@ class LidarOdometry(FrontEndBase):
                 self.check_for_nearby_kfs()
         finally:
             prof.leave("doProcessNewObservation")
+
+    def _get_fused_step(self, kind: AlignKind):
+        """One jitted program per (filters, params): filter pipeline + ICP +
+        sanity reduction + result packing — ONE device dispatch and ONE
+        readback per scan. Cached globally by configuration so fresh module
+        instances never recompile."""
+        params = self.icp_cases[kind]
+        key = (_filters_cache_key(self.filter_pipeline.filters), params)
+        if key in _FUSED_STEP_CACHE:
+            return _FUSED_STEP_CACHE[key]
+        from ..filters.pipeline import FilterDeskew
+        from ..models.icp import align as _align
+        filters = tuple(self.filter_pipeline.filters)
+
+        @jax.jit
+        def step(raw_map, last_map, guess_R, guess_t, twist):
+            mm = raw_map
+            for f in filters:
+                if isinstance(f, FilterDeskew):
+                    mm = f(mm, twist=twist)
+                else:
+                    mm = f(mm)
+            # sanity reduction (finite + populated), packed with the result
+            total = jnp.zeros((), jnp.float32)
+            finite = jnp.ones((), jnp.float32)
+            for pc in mm.values():
+                total = total + jnp.sum(pc.mask)
+                finite = finite * jnp.isfinite(
+                    jnp.sum(jnp.where(pc.mask[..., None] > 0.5, pc.xyz, 0.0))
+                ).astype(jnp.float32)
+            res = _align(mm, last_map, se3.Pose(guess_R, guess_t), params)
+            flat = jnp.concatenate([_pack_icp_result(res),
+                                    jnp.stack([total, finite])])
+            return mm, flat
+
+        _FUSED_STEP_CACHE[key] = step
+        return step
 
     @staticmethod
     def _cloud_is_sane(mm: MetricMap, min_points: int = 10) -> bool:
@@ -578,8 +714,10 @@ class LidarOdometry(FrontEndBase):
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
             min_goodness = p.min_icp_goodness
 
-        # acceptance gate (reference :794-816)
-        corr = float(se3.translation_norm(se3.compose(se3.inverse(init), pose)))
+        # acceptance gate (reference :794-816) — host math in numpy
+        Rp, tp_ = _np_pose(pose)
+        Ri, ti = se3_np.inverse((R_, t_))
+        corr = float(np.linalg.norm(se3_np.compose((Ri, ti), (Rp, tp_))[1]))
         init_norm = max(float(np.linalg.norm(t_)), 0.1)
         accept = goodness >= min_goodness and (
             kind == "lc" or corr < p.max_correction_ratio * init_norm)
@@ -610,16 +748,12 @@ class LidarOdometry(FrontEndBase):
         prof = self.profiler
         prof.enter(f"run_one_icp.{inp.debug_str or inp.align_kind.value}")
         try:
-            res: ICPResult = align(
-                inp.to_pc, inp.from_pc, inp.init_guess_to_wrt_from, params)
-            goodness = float(res.quality)
-            return ICPOutput(
-                success=True,
-                goodness=goodness,
-                found_pose_to_wrt_from=res.pose,
-                cov=np.asarray(res.cov),
-                n_iterations=int(res.n_iterations),
-            )
+            f = _get_packed_align(params)
+            g = inp.init_guess_to_wrt_from
+            flat = np.asarray(f(
+                inp.to_pc, inp.from_pc,
+                jnp.asarray(g.R, jnp.float32), jnp.asarray(g.t, jnp.float32)))
+            return _unpack_icp_result(flat)
         finally:
             prof.leave(f"run_one_icp.{inp.debug_str or inp.align_kind.value}")
 
