@@ -53,8 +53,10 @@ class Matcher:
     # ~96% recall, far cheaper) vs exact scan-merge. Exact is forced under
     # tensor parallelism.
     approx_knn: bool = True
-    # 1-NN backend: "xla" (tiled scan, MXU cross-term) or "pallas" (fused
-    # VPU difference-form kernel; TPU only — falls back to xla elsewhere).
+    # 1-NN backend: "xla" (tiled scan, MXU cross-term), "pallas" (fused VPU
+    # difference-form kernel; TPU only — falls back to xla elsewhere), or
+    # "grid" (voxel-hash, O(N·27K); radius-limited to distance_threshold —
+    # the winner for large clouds).
     nn_backend: str = "xla"
 
 

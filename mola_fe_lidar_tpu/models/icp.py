@@ -92,6 +92,14 @@ def _match_one(
                 i, d = pallas_nn.pallas_nearest_neighbors(
                     sp, src.mask, tgt.xyz, tgt.mask)
                 return matching_ops.NNResult(i, d)
+        elif m.nn_backend == "grid":
+            from ..ops import grid_nn as grid_ops
+
+            def nn1():
+                # cell = the matcher's own acceptance radius: every match the
+                # threshold would keep is found exactly
+                return grid_ops.grid_nn(sp, src.mask, tgt.xyz, tgt.mask,
+                                        cell=float(m.distance_threshold))
         else:
             nn1 = lambda: matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
         # approx_min_k rides the TPU top-k unit; its CPU fallback is slower
