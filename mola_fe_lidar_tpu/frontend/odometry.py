@@ -280,6 +280,13 @@ class LidarOdometry(FrontEndBase):
                 "class": c["pointcloud_filter_class"],
                 "params": c.get("pointcloud_filter_params", {}),
             }]
+        filt_cfg = list(filt_cfg) if filt_cfg else []
+        # reference preset key (dead in the reference code, SURVEY §2d);
+        # honored here as a real cap on the raw layer
+        cap_count = int(g("decimate_to_point_count", 0) or 0)
+        if cap_count > 0:
+            filt_cfg.insert(0, {"class": "FilterDecimateToCount",
+                                "params": {"count": cap_count}})
         self.filter_pipeline = FilterPipeline.from_config(filt_cfg)
 
         if self.worldmodel is None:

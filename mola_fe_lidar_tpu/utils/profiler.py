@@ -128,6 +128,25 @@ class ProfilerEntry:
         return False
 
 
+class DeviceTrace:
+    """Context manager wrapping ``jax.profiler.trace`` — captures a full
+    device trace (viewable in TensorBoard/Perfetto) around a code region,
+    complementing the host-side named-scope registry."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
+
+
 def device_scope(profiler: Optional[Profiler], scope: str, result):
     """Time a device computation honestly: blocks on ``result`` then records."""
     if profiler is None:
