@@ -76,7 +76,7 @@ def _matcher_active(m: Matcher, it: jax.Array) -> jax.Array:
 
 def _match_one(
     m: Matcher, pose, it, src_map: MetricMap, tgt_map: MetricMap,
-    tile: int, shard_axis: str | None,
+    tile: int, shard_axis: str | None, aux=None,
 ) -> _Pairings:
     src = src_map[m.src_layer]
     tgt = tgt_map[m.tgt_layer]
@@ -97,7 +97,12 @@ def _match_one(
 
             def nn1():
                 # cell = the matcher's own acceptance radius: every match the
-                # threshold would keep is found exactly
+                # threshold would keep is found exactly. The grid index is
+                # built ONCE per align (the target is loop-invariant) and
+                # closed over by the while_loop body via `aux`.
+                if aux is not None:
+                    return grid_ops.grid_nearest_neighbors(
+                        sp, src.mask, aux, tgt.xyz, tgt.mask)
                 return grid_ops.grid_nn(sp, src.mask, tgt.xyz, tgt.mask,
                                         cell=float(m.distance_threshold))
         else:
@@ -209,14 +214,30 @@ def _apply_pair_weights(pr: _Pairings, pose, params: ICPParams) -> _Pairings:
     return pr._replace(w=w)
 
 
-def _gather(pose, it, src_map, tgt_map, params: ICPParams):
+def _prebuild_matcher_aux(src_map, tgt_map, params: ICPParams):
+    """Loop-invariant per-matcher resources (currently: grid indices)."""
+    from ..ops import grid_nn as grid_ops
+
+    aux = []
+    for m in params.matchers:
+        if m.nn_backend == "grid" and params.shard_axis is None:
+            tgt = tgt_map[m.tgt_layer]
+            aux.append(grid_ops.build_grid(
+                tgt.xyz, tgt.mask, float(m.distance_threshold)))
+        else:
+            aux.append(None)
+    return tuple(aux)
+
+
+def _gather(pose, it, src_map, tgt_map, params: ICPParams, aux=None):
     """Run all matchers; return (plane-row system, raw p2p pairings)."""
     plane_rows = []
     p2p_rows = []
-    for m in params.matchers:
+    for i, m in enumerate(params.matchers):
         pr = _apply_pair_weights(
             _match_one(m, pose, it, src_map, tgt_map, params.nn_tile,
-                       params.shard_axis),
+                       params.shard_axis,
+                       aux[i] if aux is not None else None),
             pose, params,
         )
         if pr.is_plane:
@@ -289,9 +310,11 @@ def align(
         pose, it, done = state
         return jnp.logical_and(it < params.max_iterations, jnp.logical_not(done))
 
+    aux = _prebuild_matcher_aux(src_map, tgt_map, params)
+
     def body(state):
         pose, it, done = state
-        plane, p2p_rows = _gather(pose, it, src_map, tgt_map, params)
+        plane, p2p_rows = _gather(pose, it, src_map, tgt_map, params, aux)
         new_pose = _solve(pose, plane, p2p_rows, params)
         # Too few effective pairings → the system is unconstrained; stall at
         # the current pose (terminates via zero step) instead of trusting a
@@ -313,7 +336,7 @@ def align(
     pose, n_iter, converged = jax.lax.while_loop(cond, body, state0)
 
     # Final system at the converged pose → covariance (CPose3DPDFGaussian).
-    plane, _ = _gather(pose, n_iter, src_map, tgt_map, params)
+    plane, _ = _gather(pose, n_iter, src_map, tgt_map, params, aux)
     final = gauss_newton.point_to_plane_step(
         pose, plane.p, plane.q, plane.n, plane.w, inner_iterations=0
     )

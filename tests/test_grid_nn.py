@@ -73,3 +73,29 @@ class TestGridNN:
         close = np.asarray(ref.dist) < 2.0
         np.testing.assert_allclose(np.asarray(res.dist)[close],
                                    np.asarray(ref.dist)[close], atol=1e-4)
+
+
+class TestGridMatcherInEngine:
+    def test_align_with_grid_backend(self, rng):
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.cloud import from_points
+        from mola_fe_lidar_tpu.geometry import se3
+        from mola_fe_lidar_tpu.models import (
+            ICPParams, Matcher, PairWeights, Solver, align)
+        from tests.test_icp import structured_world, pose_error
+        world = structured_world(rng, n=1024)
+        true = se3.from_xyz_ypr(0.4, -0.2, 0.05, 0.03, 0, 0)
+        src_pts = np.array(se3.transform(se3.inverse(true), jnp.asarray(world)))
+        src = {"raw": from_points(src_pts, capacity=1024)}
+        tgt = {"raw": from_points(world, capacity=1024)}
+        params = ICPParams(
+            max_iterations=40,
+            matchers=(Matcher(kind="point2point", distance_threshold=2.0,
+                              nn_backend="grid"),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        res = align(src, tgt, se3.identity(), params)
+        et, er = pose_error(res.pose, true)
+        assert et < 1e-2 and er < 1e-3
+        assert float(res.quality) > 0.9
