@@ -159,7 +159,8 @@ def bench_tpu(pairs):
         weights=PairWeights(use_scale_outlier_detector=False),
     )
 
-    f_parity = make_batched_align(parity)
+    from mola_fe_lidar_tpu.parallel import make_chunked_batched_align
+    f_parity = make_chunked_batched_align(parity, chunk=16)
 
     # Production fast path: fused normals precompute + 2-stage coarse-to-fine
     # pipeline, scanned in 16-pair chunks so one slow pair cannot stall the
