@@ -10,7 +10,7 @@ reference's RTTI factory.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Sequence
+from typing import Any, Dict, List, Sequence
 
 from ..cloud.metric_map import MetricMap
 from ..utils.registry import Registry

@@ -13,7 +13,6 @@ range gating (ego-return / max-range cull) done on device.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Sequence
 
 import jax

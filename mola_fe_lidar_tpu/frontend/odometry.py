@@ -30,8 +30,6 @@ Pipeline parity map (reference line refs in comments):
 from __future__ import annotations
 
 import dataclasses
-import itertools
-import math
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field

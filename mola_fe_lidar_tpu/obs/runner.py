@@ -16,8 +16,7 @@ import argparse
 import json
 import sys
 import time
-from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -11,8 +11,7 @@ batch axis shards across chips (the "64 pairs on v5e-8" BASELINE config).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Parallel layouts offered (SURVEY.md §2c):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P

@@ -10,7 +10,7 @@ ICI; there is no NCCL/MPI analogue to manage.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
