@@ -99,6 +99,27 @@ def _unpack_icp_result(flat: np.ndarray) -> "ICPOutput":
         cov=cov, n_iterations=int(flat[49]))
 
 
+_PACKED_BATCH_ALIGN_CACHE: Dict[ICPParams, Any] = {}
+
+
+def _get_packed_batch_align(params: ICPParams):
+    """vmapped packed align with a shared 'from' cloud: one dispatch + one
+    readback covers every nearby-keyframe candidate of a scan (the reference
+    fans these out to threads; reference src/LidarOdometry.cpp:708-722)."""
+    if params not in _PACKED_BATCH_ALIGN_CACHE:
+        from ..models.icp import align as _align
+
+        @jax.jit
+        def f(to_pcs, from_pc, guess_Rs, guess_ts):
+            def one(to_pc, gR, gt_):
+                res = _align(to_pc, from_pc, se3.Pose(gR, gt_), params)
+                return _pack_icp_result(res)
+            return jax.vmap(one)(to_pcs, guess_Rs, guess_ts)
+
+        _PACKED_BATCH_ALIGN_CACHE[params] = f
+    return _PACKED_BATCH_ALIGN_CACHE[params]
+
+
 def _get_packed_align(params: ICPParams):
     if params not in _PACKED_ALIGN_CACHE:
         from ..models.icp import align as _align
@@ -663,16 +684,74 @@ class LidarOdometry(FrontEndBase):
                     jobs.append(("lc", d, node, R_, t_))
 
             current_kf = st.last_kf
-            for kind, d, node, R_, t_ in jobs:
-                self.log.info("%s check: KF %s <-> %s (d=%.1fm)",
-                              "LC" if kind == "lc" else "nearby",
-                              current_kf, node, d)
+            nearby_jobs = [(n, R_, t_) for k, d, n, R_, t_ in jobs if k == "nearby"]
+            lc_jobs = [(n, R_, t_) for k, d, n, R_, t_ in jobs if k == "lc"]
+            if nearby_jobs:
+                self.log.info("nearby batch: KF %s vs %s",
+                              current_kf, [n for n, *_ in nearby_jobs])
                 with self._pending_lock:
                     self._nearby_inflight += 1
                 self._nearby_pool.submit(
-                    self._check_non_adjacent_safe, kind, current_kf, node, R_, t_)
+                    self._check_nearby_batch_safe, current_kf, nearby_jobs)
+            for node, R_, t_ in lc_jobs:
+                self.log.info("LC check: KF %s <-> %s", current_kf, node)
+                with self._pending_lock:
+                    self._nearby_inflight += 1
+                self._nearby_pool.submit(
+                    self._check_non_adjacent_safe, "lc", current_kf, node, R_, t_)
         finally:
             prof.leave("checkForNearbyKFs")
+
+    def _check_nearby_batch_safe(self, cur_kf, jobs):
+        try:
+            self._check_nearby_batch(cur_kf, jobs)
+        except Exception:  # noqa: BLE001
+            self.log.exception("exception in nearby batch check")
+        finally:
+            with self._pending_lock:
+                self._nearby_inflight -= 1
+
+    def _check_nearby_batch(self, cur_kf, jobs):
+        """All nearby-align candidates of one scan as ONE vmapped dispatch.
+        Pads the batch to ``max_nearby_align_checks`` so a single program
+        shape serves every scan."""
+        wm = self.worldmodel
+        cur_pc = wm.annotation(cur_kf, ANNOTATION_NAME_PC_LAYERS)
+        if cur_pc is None:
+            return
+        clouds, keep = [], []
+        for node, R_, t_ in jobs:
+            pc = wm.annotation(node, ANNOTATION_NAME_PC_LAYERS)
+            if pc is not None:
+                clouds.append(pc)
+                keep.append((node, R_, t_))
+        if not clouds:
+            return
+        k_real = len(clouds)
+        k_pad = max(1, self.params.max_nearby_align_checks)
+        while len(clouds) < k_pad:
+            clouds.append(clouds[0])
+        clouds = clouds[:k_pad]
+        keep = keep[:k_pad]
+        try:
+            to_pcs = jax.tree.map(lambda *x: jnp.stack(x), *clouds)
+        except (ValueError, TypeError):
+            # heterogeneous layer structure: fall back to per-pair checks
+            for node, R_, t_ in keep[:k_real]:
+                self._check_non_adjacent("nearby", cur_kf, node, R_, t_)
+            return
+        gRs = jnp.stack([jnp.asarray(R_, jnp.float32) for _, R_, _ in keep]
+                        + [jnp.eye(3)] * (k_pad - len(keep)))
+        gts = jnp.stack([jnp.asarray(t_, jnp.float32) for _, _, t_ in keep]
+                        + [jnp.zeros(3)] * (k_pad - len(keep)))
+        params = self.icp_cases[AlignKind.NEARBY_ALIGN]
+        flats = np.asarray(_get_packed_batch_align(params)(
+            to_pcs, cur_pc, gRs, gts))  # one readback for the whole batch
+        for i in range(k_real):
+            node, R_, t_ = keep[i]
+            out = _unpack_icp_result(flats[i])
+            self._accept_non_adjacent("nearby", cur_kf, node, R_, t_, out.goodness,
+                                      out.found_pose_to_wrt_from)
 
     def _check_non_adjacent_safe(self, kind, cur_kf, other_kf, R_, t_):
         try:
@@ -719,9 +798,21 @@ class LidarOdometry(FrontEndBase):
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
             min_goodness = p.min_icp_goodness
 
+        self._accept_non_adjacent(kind, cur_kf, other_kf, R_, t_, goodness, pose,
+                                  min_goodness=min_goodness)
+
+    def _accept_non_adjacent(self, kind, cur_kf, other_kf, R_, t_, goodness,
+                             pose, min_goodness=None):
+        """Acceptance gate + factor/edge emission (reference :794-843)."""
+        p = self.params
+        st = self.state
+        wm = self.worldmodel
+        if min_goodness is None:
+            min_goodness = (p.min_icp_goodness_lc if kind == "lc"
+                            else p.min_icp_goodness)
         # acceptance gate (reference :794-816) — host math in numpy
         Rp, tp_ = _np_pose(pose)
-        Ri, ti = se3_np.inverse((R_, t_))
+        Ri, ti = se3_np.inverse((np.asarray(R_, float), np.asarray(t_, float)))
         corr = float(np.linalg.norm(se3_np.compose((Ri, ti), (Rp, tp_))[1]))
         init_norm = max(float(np.linalg.norm(t_)), 0.1)
         accept = goodness >= min_goodness and (

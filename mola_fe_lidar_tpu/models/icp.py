@@ -275,6 +275,8 @@ def _solve(pose, plane: _Pairings, p2p_rows, params: ICPParams):
 
 
 def _quality(pose, src_map, tgt_map, params: ICPParams, tile: int) -> jax.Array:
+    if not params.quality:
+        return jnp.ones(())  # no evaluator configured = unconditionally good
     vals = []
     for qc in params.quality:
         if qc.kind != "paired_ratio":
@@ -357,6 +359,8 @@ def align_pipeline(
     """Coarse-to-fine multi-stage ICP: run each stage from the previous
     stage's solution (the decimation-pyramid pattern; BASELINE config #3).
     Returns the last stage's result."""
+    if not stages:
+        raise ValueError("align_pipeline needs at least one stage")
     pose = init_pose
     result = None
     for st in stages:
