@@ -16,12 +16,14 @@ from ..models.config import ICPParams, Matcher, PairWeights, Quality, Solver
 _MATCHER_KINDS = {
     "Matcher_Point2Plane": "point2plane_knn",
     "Matcher_Point2Plane_Normals": "point2plane_normals",
+    "Matcher_Point2Line": "point2line_knn",
     "Matcher_Points_DistanceThreshold": "point2point",
     "Matcher_Points": "point2point",
     # native names pass through
     "point2point": "point2point",
     "point2plane_knn": "point2plane_knn",
     "point2plane_normals": "point2plane_normals",
+    "point2line_knn": "point2line_knn",
 }
 
 _SOLVER_KINDS = {

@@ -162,6 +162,38 @@ def _match_one(
         w3 = jnp.repeat(w1, 3, axis=-1)
         return _Pairings(p3, q3, n3, w3, True)
 
+    if m.kind == "point2line_knn":
+        # LOAM-style edge matching: fit a line to the kNN neighborhood
+        # (largest-eigenvalue direction), gate on linearity, and emit TWO
+        # plane rows per pairing with normals spanning the plane
+        # perpendicular to the line — the exact point-to-line residual.
+        nn = nnk()
+        neigh = gather(tgt.xyz, nn.idx)
+        valid = (nn.dist < 1e9).astype(sp.dtype)
+        cnt = jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
+        centroid = jnp.sum(neigh * valid[..., None], axis=-2) / cnt[..., None]
+        d = (neigh - centroid[..., None, :]) * valid[..., None]
+        cov = jnp.einsum("...ki,...kj->...ij", d, d, precision="highest") / cnt[..., None, None]
+        evs = eigen3.sym_eigenvalues_3x3(cov)
+        dirv = eigen3.largest_eigenvector_3x3(cov, evs)
+        # linearity gate: dominant direction ≫ second moment
+        linear = evs[..., 2] >= (1.0 / jnp.maximum(m.plane_eigen_threshold, 1e-3)) *             jnp.maximum(evs[..., 1], 1e-9)
+        # orthonormal pair perpendicular to the line
+        a = jnp.where(jnp.abs(dirv[..., 0:1]) < 0.9,
+                      jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], sp.dtype), dirv.shape),
+                      jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], sp.dtype), dirv.shape))
+        n1 = jnp.cross(dirv, a)
+        n1 = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), 1e-9)
+        n2 = jnp.cross(dirv, n1)
+        w1 = (src.mask * (nn.dist[..., 0] < m.distance_threshold)
+              * linear.astype(sp.dtype)
+              * (jnp.sum(valid, axis=-1) >= 3.0).astype(sp.dtype) * act)
+        n_rows = jnp.stack([n1, n2], axis=-2).reshape(-1, 3)
+        p2 = jnp.repeat(src.xyz, 2, axis=-2)
+        q2 = jnp.repeat(centroid, 2, axis=-2)
+        w2 = jnp.repeat(w1, 2, axis=-1)
+        return _Pairings(p2, q2, n_rows, w2, True)
+
     if m.kind == "point2plane_knn":
         nn = nnk()
         neigh = gather(tgt.xyz, nn.idx)  # [N,k,3]

@@ -109,3 +109,21 @@ def invert_lower_3x3(L: jax.Array) -> jax.Array:
         jnp.stack([i10, i11, zero], axis=-1),
         jnp.stack([i20, i21, i22], axis=-1),
     ], axis=-2)
+
+
+def largest_eigenvector_3x3(A: jax.Array, eigenvalues: jax.Array | None = None) -> jax.Array:
+    """Unit eigenvector for the largest eigenvalue of symmetric [...,3,3]
+    (the line direction of an edge-like neighborhood): columns of
+    ``(A - λ0 I)(A - λ1 I)`` span the λ2 eigenspace."""
+    if eigenvalues is None:
+        eigenvalues = sym_eigenvalues_3x3(A)
+    e0, e1 = eigenvalues[..., 0], eigenvalues[..., 1]
+    I = jnp.eye(3, dtype=A.dtype)
+    B = (A - e0[..., None, None] * I) @ (A - e1[..., None, None] * I)
+    norms = jnp.sum(B * B, axis=-2)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(B, best[..., None, None], axis=-1)[..., 0]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ok = n[..., 0] > 1e-9
+    fallback = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=A.dtype), v.shape)
+    return jnp.where(ok[..., None], v / jnp.where(ok[..., None], n, 1.0), fallback)

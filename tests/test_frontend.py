@@ -117,7 +117,7 @@ class TestICPConfigConverter:
         assert p.min_abs_step_trans == 5e-5
         assert p.solver.kind == "gauss_newton" and p.solver.max_iterations == 20
         kinds = [m.kind for m in p.matchers]
-        assert "point2plane_normals" in kinds and "point2point" in kinds
+        assert "point2plane_normals" in kinds and "point2line_knn" in kinds
         assert p.matchers[0].tgt_layer == "planes"
 
     def test_mp2p_class_names(self):
