@@ -44,6 +44,16 @@ def _short(name: str) -> str:
     return name.split("::")[-1]
 
 
+def icp_stages_from_config(cfg) -> tuple:
+    """An ICP case may be ONE stage (dict) or a coarse-to-fine LIST of
+    stages — the reference documents ``ICP_case`` as "a vector of ICP
+    stages, to be run as a sequence of coarser to finer detail"
+    (reference include/mola-fe-lidar/LidarOdometry.h:92-99)."""
+    if isinstance(cfg, (list, tuple)):
+        return tuple(icp_params_from_config(c) for c in cfg)
+    return (icp_params_from_config(cfg),)
+
+
 def icp_params_from_config(cfg: Dict[str, Any]) -> ICPParams:
     p = cfg.get("params", {}) or {}
     w = p.get("pairingsWeightParameters", {}) or {}

@@ -52,7 +52,7 @@ from ..utils.profiler import ProfilerEntry as ProfilerEntryCtx
 from .backend import (
     AdvertiseLocalization, FactorRelativePose3, ProposeKFInput,
 )
-from .icp_config import icp_params_from_config
+from .icp_config import icp_params_from_config, icp_stages_from_config
 from .module_base import FrontEndBase, MODULE_REGISTRY, RawObservation
 from .pose_graph import PoseGraph, make_pose_graph
 from .worldmodel import (
@@ -102,35 +102,36 @@ def _unpack_icp_result(flat: np.ndarray) -> "ICPOutput":
 _PACKED_BATCH_ALIGN_CACHE: Dict[ICPParams, Any] = {}
 
 
-def _get_packed_batch_align(params: ICPParams):
+def _get_packed_batch_align(stages: tuple):
     """vmapped packed align with a shared 'from' cloud: one dispatch + one
     readback covers every nearby-keyframe candidate of a scan (the reference
     fans these out to threads; reference src/LidarOdometry.cpp:708-722)."""
-    if params not in _PACKED_BATCH_ALIGN_CACHE:
-        from ..models.icp import align as _align
+    if stages not in _PACKED_BATCH_ALIGN_CACHE:
+        from ..models.icp import align_pipeline as _align_pipeline
 
         @jax.jit
         def f(to_pcs, from_pc, guess_Rs, guess_ts):
             def one(to_pc, gR, gt_):
-                res = _align(to_pc, from_pc, se3.Pose(gR, gt_), params)
+                res = _align_pipeline(to_pc, from_pc, se3.Pose(gR, gt_), stages)
                 return _pack_icp_result(res)
             return jax.vmap(one)(to_pcs, guess_Rs, guess_ts)
 
-        _PACKED_BATCH_ALIGN_CACHE[params] = f
-    return _PACKED_BATCH_ALIGN_CACHE[params]
+        _PACKED_BATCH_ALIGN_CACHE[stages] = f
+    return _PACKED_BATCH_ALIGN_CACHE[stages]
 
 
-def _get_packed_align(params: ICPParams):
-    if params not in _PACKED_ALIGN_CACHE:
-        from ..models.icp import align as _align
+def _get_packed_align(stages: tuple):
+    if stages not in _PACKED_ALIGN_CACHE:
+        from ..models.icp import align_pipeline as _align_pipeline
 
         @jax.jit
         def f(to_pc, from_pc, guess_R, guess_t):
-            res = _align(to_pc, from_pc, se3.Pose(guess_R, guess_t), params)
+            res = _align_pipeline(to_pc, from_pc, se3.Pose(guess_R, guess_t),
+                                  stages)
             return _pack_icp_result(res)
 
-        _PACKED_ALIGN_CACHE[params] = f
-    return _PACKED_ALIGN_CACHE[params]
+        _PACKED_ALIGN_CACHE[stages] = f
+    return _PACKED_ALIGN_CACHE[stages]
 
 
 # -- host-side pose helpers (numpy; graph bookkeeping stays off-device) ----
@@ -223,7 +224,7 @@ class LidarOdometry(FrontEndBase):
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self.params = LidarOdometryParameters()
-        self.icp_cases: Dict[AlignKind, ICPParams] = {}
+        self.icp_cases: Dict[AlignKind, tuple] = {}  # AlignKind -> stage tuple
         self.generators: List = []
         self.filter_pipeline: FilterPipeline = FilterPipeline()
         self.worldmodel: Optional[WorldModel] = None
@@ -274,7 +275,9 @@ class LidarOdometry(FrontEndBase):
         p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
         self._fused_cache = {}
 
-        # The three ICP cases (reference :122-128)
+        # The three ICP cases (reference :122-128). Each case is a tuple of
+        # coarse-to-fine stages (the reference documents ICP_case as a
+        # stage vector; a single stage is the common case).
         self.icp_cases = {}
         for key, kind in (
             ("icp_settings_with_vel", AlignKind.LIDAR_ODOMETRY),
@@ -282,10 +285,10 @@ class LidarOdometry(FrontEndBase):
             ("icp_settings_loop_closure", AlignKind.LOOP_CLOSURE),
         ):
             if key in c and c[key]:
-                self.icp_cases[kind] = icp_params_from_config(c[key])
+                self.icp_cases[kind] = icp_stages_from_config(c[key])
         if not self.icp_cases:
             from ..models.presets import icp_cases_kitti
-            self.icp_cases = icp_cases_kitti()
+            self.icp_cases = {k: (v,) for k, v in icp_cases_kitti().items()}
         for kind in AlignKind:
             self.icp_cases.setdefault(
                 kind, next(iter(self.icp_cases.values())))
@@ -509,12 +512,12 @@ class LidarOdometry(FrontEndBase):
         sanity reduction + result packing — ONE device dispatch and ONE
         readback per scan. Cached globally by configuration so fresh module
         instances never recompile."""
-        params = self.icp_cases[kind]
-        key = (_filters_cache_key(self.filter_pipeline.filters), params)
+        stages = self.icp_cases[kind]
+        key = (_filters_cache_key(self.filter_pipeline.filters), stages)
         if key in _FUSED_STEP_CACHE:
             return _FUSED_STEP_CACHE[key]
         from ..filters.pipeline import FilterDeskew
-        from ..models.icp import align as _align
+        from ..models.icp import align_pipeline as _align_pipeline
         filters = tuple(self.filter_pipeline.filters)
 
         @jax.jit
@@ -533,7 +536,8 @@ class LidarOdometry(FrontEndBase):
                 finite = finite * jnp.isfinite(
                     jnp.sum(jnp.where(pc.mask[..., None] > 0.5, pc.xyz, 0.0))
                 ).astype(jnp.float32)
-            res = _align(mm, last_map, se3.Pose(guess_R, guess_t), params)
+            res = _align_pipeline(mm, last_map, se3.Pose(guess_R, guess_t),
+                                  stages)
             flat = jnp.concatenate([_pack_icp_result(res),
                                     jnp.stack([total, finite])])
             return mm, flat
@@ -744,8 +748,8 @@ class LidarOdometry(FrontEndBase):
                         + [jnp.eye(3)] * (k_pad - len(keep)))
         gts = jnp.stack([jnp.asarray(t_, jnp.float32) for _, _, t_ in keep]
                         + [jnp.zeros(3)] * (k_pad - len(keep)))
-        params = self.icp_cases[AlignKind.NEARBY_ALIGN]
-        flats = np.asarray(_get_packed_batch_align(params)(
+        stages = self.icp_cases[AlignKind.NEARBY_ALIGN]
+        flats = np.asarray(_get_packed_batch_align(stages)(
             to_pcs, cur_pc, gRs, gts))  # one readback for the whole batch
         for i in range(k_real):
             node, R_, t_ = keep[i]
@@ -784,8 +788,10 @@ class LidarOdometry(FrontEndBase):
             guesses = monte_carlo_guesses(
                 jax.random.key(st.mc_seed), init,
                 p.loop_closure_montecarlo_samples, sigma_xyz, sigma_rot)
-            params = self.icp_cases[AlignKind.LOOP_CLOSURE]
-            res = jax.vmap(lambda g: align(oth_pc, cur_pc, g, params))(guesses)
+            lc_stages = self.icp_cases[AlignKind.LOOP_CLOSURE]
+            from ..models.icp import align_pipeline as _align_pipeline
+            res = jax.vmap(
+                lambda g: _align_pipeline(oth_pc, cur_pc, g, lc_stages))(guesses)
             best = int(jnp.argmax(res.quality))
             goodness = float(res.quality[best])
             pose = jax.tree.map(lambda x: x[best], res.pose)
@@ -840,11 +846,11 @@ class LidarOdometry(FrontEndBase):
     # the compute seam (reference run_one_icp :851-895)
     # ------------------------------------------------------------------
     def run_one_icp(self, inp: ICPInput) -> ICPOutput:
-        params = self.icp_cases[inp.align_kind]
+        stages = self.icp_cases[inp.align_kind]
         prof = self.profiler
         prof.enter(f"run_one_icp.{inp.debug_str or inp.align_kind.value}")
         try:
-            f = _get_packed_align(params)
+            f = _get_packed_align(stages)
             g = inp.init_guess_to_wrt_from
             flat = np.asarray(f(
                 inp.to_pc, inp.from_pc,

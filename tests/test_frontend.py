@@ -248,3 +248,28 @@ class TestLidarOdometryIntegration:
                       if abs(f.kf_to - f.kf_from) >= 8]
         assert long_range, (
             f"no long-range factor among {[(f.kf_from, f.kf_to) for f in backend.factors]}")
+
+
+class TestMultiStageICPCase:
+    def test_stage_list_in_config(self, small_world):
+        """The reference documents ICP_case as a coarse-to-fine stage vector
+        (LidarOdometry.h:92-99): a YAML list of stage configs must work."""
+        cfg = odom_test_cfg()
+        single = cfg["params"]["icp_settings_with_vel"]
+        coarse = {
+            "params": {"maxIterations": 8},
+            "matchers": [{"class": "Matcher_Points_DistanceThreshold",
+                          "params": {"distanceThreshold": 5.0,
+                                     "src_layer": "decimated",
+                                     "tgt_layer": "decimated"}}],
+            "solvers": [{"class": "Solver_Horn"}],
+            "quality": single["quality"],
+        }
+        cfg["params"]["icp_settings_with_vel"] = [coarse, single]
+        obs, gt = synthetic_sequence(kind="straight", n_scans=10, speed=2.0,
+                                     rate_hz=2.0, world=small_world)
+        res = run_replay(obs, cfg, gt_poses=gt)
+        assert res["n_keyframes"] >= 2
+        assert res.get("ate_rmse", 99) < 0.5
+        m = res["module"]
+        assert len(m.icp_cases[list(m.icp_cases)[0]]) == 2  # two stages
