@@ -31,6 +31,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cloud.metric_map import MetricMap
 from ..geometry import se3
@@ -62,7 +63,7 @@ class _Pairings(NamedTuple):
     is_plane: bool        # static
 
 
-_AXES = jnp.eye(3, dtype=jnp.float32)
+_AXES = np.eye(3, dtype=np.float32)  # numpy: safe under lazy import in a trace
 
 
 def _matcher_active(m: Matcher, it: jax.Array) -> jax.Array:

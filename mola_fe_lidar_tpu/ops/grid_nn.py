@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .matching import NNResult
 
@@ -88,9 +89,12 @@ def build_grid(
                      jnp.asarray(cell, tgt.dtype))
 
 
-_OFFSETS = jnp.stack(jnp.meshgrid(
-    jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
-    indexing="ij"), axis=-1).reshape(27, 3).astype(jnp.int32)
+# numpy, not jnp: this module may first be imported inside a jit trace
+# (lazy import in the engine) — a module-level jnp constant would capture a
+# tracer and leak it past the trace.
+_OFFSETS = np.stack(np.meshgrid(
+    np.arange(-1, 2), np.arange(-1, 2), np.arange(-1, 2),
+    indexing="ij"), axis=-1).reshape(27, 3).astype(np.int32)
 
 
 @jax.jit
