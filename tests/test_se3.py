@@ -131,3 +131,50 @@ class TestJitVmap:
 
         pts = jnp.asarray(rng.standard_normal((5, 3)).astype(np.float32))
         np.testing.assert_allclose(np.asarray(f(random_tau(rng), pts)), np.asarray(pts), atol=1e-5)
+
+
+class TestSe3NumpyMirror:
+    """geometry.se3_np must match the jax implementation — it runs the
+    frontend's per-scan host bookkeeping."""
+
+    def test_exp_matches_jax(self, rng):
+        from mola_fe_lidar_tpu.geometry import se3_np
+        for _ in range(20):
+            tau = rng.standard_normal(6) * 0.5
+            Rj = np.asarray(se3.exp(jnp.asarray(tau, jnp.float32)).R)
+            tj = np.asarray(se3.exp(jnp.asarray(tau, jnp.float32)).t)
+            Rn, tn = se3_np.exp(tau)
+            np.testing.assert_allclose(Rn, Rj, atol=1e-5)
+            np.testing.assert_allclose(tn, tj, atol=1e-5)
+
+    def test_log_matches_jax(self, rng):
+        from mola_fe_lidar_tpu.geometry import se3_np
+        for _ in range(20):
+            tau = rng.standard_normal(6) * 0.5
+            p = se3.exp(jnp.asarray(tau, jnp.float32))
+            tau_j = np.asarray(se3.log(p))
+            tau_n = se3_np.log(np.asarray(p.R, float), np.asarray(p.t, float))
+            np.testing.assert_allclose(tau_n, tau_j, atol=1e-4)
+
+    def test_log_small_angle(self):
+        from mola_fe_lidar_tpu.geometry import se3_np
+        # the f32 cliff region that bit se3.log (theta ~ 1e-4)
+        tau = np.array([0.3, 0.1, 0.0, 0.0, 0.0, 1e-4])
+        R, t = se3_np.exp(tau)
+        back = se3_np.log(R, t)
+        np.testing.assert_allclose(back, tau, atol=1e-8)
+        assert np.all(np.isfinite(back))
+
+    def test_compose_inverse(self, rng):
+        from mola_fe_lidar_tpu.geometry import se3_np
+        a = se3_np.exp(rng.standard_normal(6) * 0.4)
+        b = se3_np.exp(rng.standard_normal(6) * 0.4)
+        ab = se3_np.compose(a, b)
+        ident = se3_np.compose(se3_np.inverse(a), se3_np.compose(a, b))
+        np.testing.assert_allclose(ident[0], b[0], atol=1e-12)
+        np.testing.assert_allclose(ident[1], b[1], atol=1e-12)
+
+    def test_rotation_angle(self):
+        from mola_fe_lidar_tpu.geometry import se3_np
+        R, _ = se3_np.exp(np.array([0, 0, 0, 0, 0, 0.7]))
+        np.testing.assert_allclose(se3_np.rotation_angle(R), 0.7, atol=1e-10)
