@@ -780,8 +780,9 @@ class LidarOdometry(FrontEndBase):
         init = _jx_pose(R_, t_)  # pose of other in frame of current
 
         if kind == "lc":
-            # Monte-Carlo perturbations — ONE vmapped batch instead of the
-            # reference's sequential 10 aligns (:767-787)
+            # Monte-Carlo perturbations — ONE vmapped batch (+ one packed
+            # readback) instead of the reference's sequential 10 aligns
+            # (:767-787)
             sigma_xyz = 0.1 * p.max_dist_to_loop_closure
             sigma_rot = 2.0 * DEG2RAD
             st.mc_seed += 1
@@ -789,12 +790,15 @@ class LidarOdometry(FrontEndBase):
                 jax.random.key(st.mc_seed), init,
                 p.loop_closure_montecarlo_samples, sigma_xyz, sigma_rot)
             lc_stages = self.icp_cases[AlignKind.LOOP_CLOSURE]
-            from ..models.icp import align_pipeline as _align_pipeline
-            res = jax.vmap(
-                lambda g: _align_pipeline(oth_pc, cur_pc, g, lc_stages))(guesses)
-            best = int(jnp.argmax(res.quality))
-            goodness = float(res.quality[best])
-            pose = jax.tree.map(lambda x: x[best], res.pose)
+            flats = np.asarray(_get_packed_batch_align(lc_stages)(
+                jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x, (p.loop_closure_montecarlo_samples, *x.shape)),
+                    oth_pc),
+                cur_pc, guesses.R, guesses.t))
+            best = int(np.argmax(flats[:, 48]))
+            out = _unpack_icp_result(flats[best])
+            goodness, pose = out.goodness, out.found_pose_to_wrt_from
             min_goodness = p.min_icp_goodness_lc
         else:
             out = self.run_one_icp(ICPInput(
