@@ -77,7 +77,15 @@ class FilterVoxelDownsample:
 def _voxel_downsample(xyz, mask, res, method, capacity) -> PointCloud:
     vs = voxel.lex_sort_by_voxel(xyz, mask, res)
     if method == "first":
-        m, pts = _compact(vs.first, capacity, vs.xyz)
+        # decorrelate from the voxel sort order before truncating: if the
+        # occupied-voxel count exceeds capacity, a sorted-order compaction
+        # would keep a spatially biased slab (low-x cells) — a fixed hash
+        # permutation makes the kept subset spatially uniform instead
+        n = vs.first.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
+        perm = jnp.argsort(iota * jnp.uint32(2654435761))
+        m, pts = _compact(jnp.take(vs.first, perm), capacity,
+                          jnp.take(vs.xyz, perm, axis=0))
     else:  # mean
         st = voxel.voxel_stats(vs, num_segments=capacity)
         m, pts = st.valid, st.mean

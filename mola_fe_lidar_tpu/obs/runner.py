@@ -44,20 +44,35 @@ DEFAULT_CFG = {"params": {
         {"class": "GeneratorRawPoints", "params": {"capacity": 8192}}],
     "pointcloud_filter": [
         {"class": "FilterVoxelDownsample",
-         "params": {"voxel_size": 0.7, "output_capacity": 4096}}],
-    "icp_settings_with_vel": {
-        "params": {"maxIterations": 30},
-        "matchers": [{"class": "Matcher_Point2Plane",
-                      "params": {"distanceThreshold": 2.0, "knn": 6,
-                                 "planeEigenThreshold": 0.2,
-                                 "src_layer": "decimated",
-                                 "tgt_layer": "decimated"}}],
-        "solvers": [{"class": "Solver_GaussNewton",
-                     "params": {"maxIterations": 8}}],
-        "quality": [{"class": "QualityEvaluator_PairedRatio",
-                     "params": {"thresholdDistance": 0.3,
-                                "src_layer": "raw", "tgt_layer": "raw"}}],
-    },
+         "params": {"voxel_size": 0.7, "output_capacity": 8192}}],
+    # coarse-to-fine stage vector: the wide point-to-point stage captures
+    # large per-scan motion/rotation before the fine point-to-plane polish
+    "icp_settings_with_vel": [
+        {
+            "params": {"maxIterations": 10},
+            "matchers": [{"class": "Matcher_Points_DistanceThreshold",
+                          "params": {"distanceThreshold": 6.0,
+                                     "src_layer": "decimated",
+                                     "tgt_layer": "decimated"}}],
+            "solvers": [{"class": "Solver_Horn"}],
+            "quality": [{"class": "QualityEvaluator_PairedRatio",
+                         "params": {"thresholdDistance": 0.3,
+                                    "src_layer": "raw", "tgt_layer": "raw"}}],
+        },
+        {
+            "params": {"maxIterations": 30},
+            "matchers": [{"class": "Matcher_Point2Plane",
+                          "params": {"distanceThreshold": 2.0, "knn": 6,
+                                     "planeEigenThreshold": 0.2,
+                                     "src_layer": "decimated",
+                                     "tgt_layer": "decimated"}}],
+            "solvers": [{"class": "Solver_GaussNewton",
+                         "params": {"maxIterations": 8}}],
+            "quality": [{"class": "QualityEvaluator_PairedRatio",
+                         "params": {"thresholdDistance": 0.3,
+                                    "src_layer": "raw", "tgt_layer": "raw"}}],
+        },
+    ],
 }}
 
 
