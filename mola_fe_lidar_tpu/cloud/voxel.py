@@ -108,17 +108,24 @@ def voxel_stats(vs: VoxelSort, num_segments: int) -> VoxelStats:
     Internally uses ``num_segments + 1`` slots — the extra slot absorbs
     padding points and voxels past capacity — and drops it on return, so no
     real voxel is ever clobbered by the trash segment.
+
+    The covariance uses a two-pass centered form, E[(x−μ)(x−μ)ᵀ]: the
+    one-pass E[xxᵀ]−μμᵀ cancels catastrophically in f32 on absolute LiDAR
+    coordinates (x² ~ 1e4 at 100 m range vs plane-thickness eigenvalues
+    ~1e-4), corrupting edge/plane eigen-ratio classification for distant
+    voxels.
     """
     seg = voxel_segments(vs, num_segments)
     total = num_segments + 1
     w = vs.mask
     count = jax.ops.segment_sum(w, seg, num_segments=total)
     sum_x = jax.ops.segment_sum(vs.xyz * w[..., None], seg, num_segments=total)
-    outer = vs.xyz[..., :, None] * vs.xyz[..., None, :] * w[..., None, None]
-    sum_xx = jax.ops.segment_sum(outer, seg, num_segments=total)
-    count, sum_x, sum_xx = count[..., :-1], sum_x[..., :-1, :], sum_xx[..., :-1, :, :]
-    safe_n = jnp.maximum(count, 1.0)
-    mean = sum_x / safe_n[..., None]
-    cov = sum_xx / safe_n[..., None, None] - mean[..., :, None] * mean[..., None, :]
+    safe_n_all = jnp.maximum(count, 1.0)
+    mean_all = sum_x / safe_n_all[..., None]
+    ctr = (vs.xyz - mean_all[seg]) * w[..., None]
+    outer = ctr[..., :, None] * ctr[..., None, :]
+    sum_cc = jax.ops.segment_sum(outer, seg, num_segments=total)
+    count, mean = count[..., :-1], mean_all[..., :-1, :]
+    cov = sum_cc[..., :-1, :, :] / jnp.maximum(count, 1.0)[..., None, None]
     valid = (count > 0.5).astype(vs.xyz.dtype)
     return VoxelStats(count, mean, cov, valid)

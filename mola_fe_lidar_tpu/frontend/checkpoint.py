@@ -86,6 +86,11 @@ def load_checkpoint(module: "LidarOdometry", ckpt_dir: str) -> None:
     st.checked_KF_pairs = {tuple(p) for p in meta["checked_KF_pairs"]}
 
     g = make_pose_graph()
+    # insert the saved root FIRST: both graph backends adopt the first
+    # inserted node as root, so this restores the original Dijkstra source
+    # even when it isn't the minimum node id (e.g. after pruning)
+    if meta.get("graph_root") is not None:
+        g.insert_node(int(meta["graph_root"]))
     for n in meta["graph_nodes"]:
         g.insert_node(n)
     for e in meta["graph_edges"]:

@@ -13,12 +13,9 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..cloud.metric_map import MetricMap, PointCloud, from_points, to_numpy
-from ..filters.pipeline import FilterVoxelDownsample
 from ..geometry import se3
 from ..models.config import ICPParams, Matcher, PairWeights, Quality, Solver
 from ..models.icp import ICPResult, align
@@ -49,19 +46,44 @@ class MapLocalizer:
         self._map: Optional[MetricMap] = None
 
     # -- map construction --------------------------------------------------
+    @staticmethod
+    def _voxel_first_np(points: np.ndarray, res: float) -> np.ndarray:
+        """Host-side exact "first point per voxel" dedup (map *assembly* is a
+        rare host-side op; all per-query compute stays on device)."""
+        if len(points) == 0:
+            return points
+        cells = np.floor(points / res).astype(np.int64)
+        _, idx = np.unique(cells, axis=0, return_index=True)
+        return points[np.sort(idx)]
+
     def build(self, clouds_and_poses: List[Tuple[MetricMap, Tuple[np.ndarray, np.ndarray]]]) -> None:
-        """Aggregate (cloud, world_pose) pairs into the map frame."""
+        """Aggregate (cloud, world_pose) pairs into the map frame.
+
+        Each keyframe cloud is voxel-deduped in the world frame BEFORE
+        concatenation, so an over-capacity aggregate never drops whole late
+        keyframes (round-1 advisor finding: raw scan-order truncation left a
+        spatially biased map). On overflow after the global dedup, the kept
+        subset is a hash-uniform subsample and a warning is logged.
+        """
         pts = []
         for mm, (R, t) in clouds_and_poses:
             layer = mm.get(self.layer) or next(iter(mm.values()))
             local = to_numpy(layer)
-            pts.append(local @ np.asarray(R, np.float64).T + np.asarray(t))
+            world_kf = (local @ np.asarray(R, np.float64).T + np.asarray(t))
+            pts.append(self._voxel_first_np(world_kf.astype(np.float32),
+                                            self.voxel_size))
         world = np.concatenate(pts).astype(np.float32) if pts else np.zeros((0, 3), np.float32)
-        raw = from_points(world, capacity=max(256, min(self.map_capacity * 2,
-                                                       1 << 18)))
-        ds = FilterVoxelDownsample(voxel_size=self.voxel_size, method="first",
-                                   output_capacity=self.map_capacity)
-        self._map = {"map": ds({"raw": raw})["decimated"]}
+        world = self._voxel_first_np(world, self.voxel_size)
+        if len(world) > self.map_capacity:
+            import logging
+            logging.getLogger(__name__).warning(
+                "MapLocalizer: aggregate map has %d voxels > capacity %d; "
+                "keeping a uniform subsample", len(world), self.map_capacity)
+            # deterministic hash-uniform subsample, not a spatial slab
+            h = (np.arange(len(world), dtype=np.uint64) * np.uint64(2654435761)
+                 ) % np.uint64(len(world))
+            world = world[np.argsort(h)][: self.map_capacity]
+        self._map = {"map": from_points(world, capacity=self.map_capacity)}
 
     def build_from_worldmodel(self, wm: WorldModel,
                               kf_poses: Dict[int, Tuple[np.ndarray, np.ndarray]]) -> None:

@@ -60,6 +60,14 @@ from .worldmodel import (
 )
 
 
+# Errors that mean "this configuration cannot run as one fused jit program"
+# (trace/compile failures) — anything else is a real bug and must propagate.
+_FUSED_FALLBACK_ERRORS = (
+    jax.errors.JAXTypeError,       # Tracer*/Concretization errors
+    jax.errors.JAXIndexError,
+    jax.errors.JaxRuntimeError,    # XLA compile/runtime failures
+)
+
 # Global jit-product caches keyed by *configuration*, not module instance —
 # a fresh LidarOdometry with the same filters/params reuses compiled programs.
 _FUSED_STEP_CACHE: Dict[tuple, Any] = {}
@@ -237,7 +245,11 @@ class LidarOdometry(FrontEndBase):
         self._nearby_inflight = 0
         self._drops = 0
         self._fused_cache: Dict[AlignKind, Any] = {}
-        self._fused_ok = True
+        # per-AlignKind fused-path health: one kind failing to trace must not
+        # degrade the others, and non-trace errors (config typos surfacing as
+        # KeyError/AttributeError/...) propagate instead of silently slowing
+        # every subsequent scan
+        self._fused_ok: Dict[AlignKind, bool] = {k: True for k in AlignKind}
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -320,9 +332,34 @@ class LidarOdometry(FrontEndBase):
             self.state = MethodState()
 
     def state_copy(self) -> MethodState:
-        """Snapshot accessor (reference stateCopy(), LidarOdometry.h:163)."""
+        """Deep snapshot accessor (reference stateCopy(), LidarOdometry.h:163).
+
+        Unlike the reference — whose stateCopy() shares the live containers
+        and can race (SURVEY.md §2c) — the snapshot owns its own pose graph,
+        edge log, and checked-pair set: a caller can iterate it while the
+        pipeline keeps mutating the live state.
+        """
         with self._state_lock:
-            return dataclasses.replace(self.state)
+            st = self.state
+            g = make_pose_graph()
+            live = set(st.local_pose_graph.nodes)
+            if st.local_pose_graph.root is not None:
+                g.insert_node(st.local_pose_graph.root)
+            for n in sorted(live):
+                g.insert_node(n)
+            for a, b, R, t in st.edge_log:
+                # edge_log is append-only; skip edges of pruned nodes
+                if a in live and b in live:
+                    g.insert_edge(a, b, R, t)
+            return dataclasses.replace(
+                st,
+                twist=np.array(st.twist),
+                accum_since_last_kf_R=np.array(st.accum_since_last_kf_R),
+                accum_since_last_kf_t=np.array(st.accum_since_last_kf_t),
+                local_pose_graph=g,
+                checked_KF_pairs=set(st.checked_KF_pairs),
+                edge_log=list(st.edge_log),
+            )
 
     def spin_once(self) -> None:
         """Periodic heartbeat (reference src/LidarOdometry.cpp:150-158 keeps
@@ -393,7 +430,10 @@ class LidarOdometry(FrontEndBase):
             icp_out = None
             this_points = None
             if last_points is not None:
-                dt = tim - (last_tim or tim)
+                # NOT `last_tim or tim`: a legitimate previous timestamp of
+                # 0.0 is falsy (0-based sequences) and would zero dt, silently
+                # skipping the velocity prior and twist update on scan #2
+                dt = tim - last_tim if last_tim is not None else 0.0
                 # velocity-model prior (reference :264-275; full se(3) twist)
                 # — host-side numpy exp: no device dispatch for a 6-vector
                 if st.twist_is_good and dt > 0:
@@ -405,7 +445,7 @@ class LidarOdometry(FrontEndBase):
                 guess_R = jnp.asarray(gR, jnp.float32)
                 guess_t = jnp.asarray(gt_, jnp.float32)
 
-                if self.params.fused_scan_step and self._fused_ok:
+                if self.params.fused_scan_step and self._fused_ok[kind]:
                     # ONE dispatch + ONE readback (see _get_fused_step)
                     try:
                         prof.enter("doProcess.fused_step")
@@ -422,12 +462,19 @@ class LidarOdometry(FrontEndBase):
                             return
                         this_points = mm
                         icp_out = _unpack_icp_result(flat)
-                    except Exception:  # noqa: BLE001 — fall back once, permanently
+                    except _FUSED_FALLBACK_ERRORS:
+                        # jit trace/compile failure for THIS kind only: fall
+                        # back to the unfused path once, permanently
                         prof.leave("doProcess.fused_step")
-                        self._fused_ok = False
+                        self._fused_ok[kind] = False
                         self.log.warning(
-                            "fused scan step failed to trace; using unfused path",
-                            exc_info=True)
+                            "fused scan step failed to trace for %s; "
+                            "using unfused path", kind, exc_info=True)
+                    except Exception:
+                        # genuine errors (bad config, missing layers, ...)
+                        # must surface, not silently degrade every scan
+                        prof.leave("doProcess.fused_step")
+                        raise
 
                 if icp_out is None:  # unfused fallback
                     prof.enter("doProcess.filter")
@@ -785,9 +832,13 @@ class LidarOdometry(FrontEndBase):
             # (:767-787)
             sigma_xyz = 0.1 * p.max_dist_to_loop_closure
             sigma_rot = 2.0 * DEG2RAD
-            st.mc_seed += 1
+            # read-modify-write under the lock: two concurrent LC checks on
+            # the 2-worker nearby pool must not reuse a seed
+            with self._state_lock:
+                st.mc_seed += 1
+                mc_seed = st.mc_seed
             guesses = monte_carlo_guesses(
-                jax.random.key(st.mc_seed), init,
+                jax.random.key(mc_seed), init,
                 p.loop_closure_montecarlo_samples, sigma_xyz, sigma_rot)
             lc_stages = self.icp_cases[AlignKind.LOOP_CLOSURE]
             flats = np.asarray(_get_packed_batch_align(lc_stages)(
