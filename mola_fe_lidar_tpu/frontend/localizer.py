@@ -23,11 +23,13 @@ from .worldmodel import ANNOTATION_NAME_PC_LAYERS, WorldModel
 
 
 def default_localize_params(cell: float = 1.0) -> ICPParams:
-    """Point-to-point grid-matched ICP sized for scan-vs-map queries."""
+    """Point-to-point ICP sized for scan-vs-map queries ("auto" NN backend:
+    the fused Pallas kernel on TPU — measured faster than the grid index
+    even at 131k-point maps, docs/nn_crossover.json)."""
     return ICPParams(
         max_iterations=30,
         matchers=(Matcher(kind="point2point", distance_threshold=cell,
-                          nn_backend="grid"),),
+                          nn_backend="auto"),),
         solver=Solver(kind="horn"),
         quality=(Quality(threshold_distance=0.3),),
         weights=PairWeights(use_scale_outlier_detector=False),

@@ -49,15 +49,19 @@ class Matcher:
     plane_eigen_threshold: float = 0.07
     run_from_iteration: int = 0
     run_up_to_iteration: int = 0
-    # kNN backend for point2plane_knn: approx_min_k (TPU top-k unit,
-    # ~96% recall, far cheaper) vs exact scan-merge. Exact is forced under
-    # tensor parallelism.
+    # kNN backend for point2plane_knn: approx_min_k (TPU top-k unit, ~95%
+    # recall) wins at every size on v5e (docs/nn_crossover.json) and is the
+    # default; exact (approx_knn=False) routes to the fused Pallas kNN on
+    # TPU (the scan-merge XLA path takes minutes to compile at >=8k points)
+    # and to the exact scan-merge on CPU. Exact is forced under tensor
+    # parallelism.
     approx_knn: bool = True
-    # 1-NN backend: "xla" (tiled scan, MXU cross-term), "pallas" (fused VPU
-    # difference-form kernel; TPU only — falls back to xla elsewhere), or
-    # "grid" (voxel-hash, O(N·27K); radius-limited to distance_threshold —
-    # the winner for large clouds).
-    nn_backend: str = "xla"
+    # 1-NN backend: "auto" resolves to "pallas" on TPU and "xla" elsewhere —
+    # the fused Pallas kernel is exact and fastest at every measured size
+    # (docs/nn_crossover.json; the voxel-hash "grid" is gather-bound and
+    # loses to brute force on TPU at all sizes, kept for radius-limited
+    # semantics). Explicit values: "xla", "pallas", "grid".
+    nn_backend: str = "auto"
 
 
 @dataclass(frozen=True)

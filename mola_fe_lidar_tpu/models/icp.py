@@ -85,15 +85,21 @@ def _match_one(
     act = _matcher_active(m, it)
 
     # Dispatch single-device vs tensor-parallel (target point axis sharded)
+    backend = m.nn_backend
+    if backend == "auto":
+        # measured crossover (docs/nn_crossover.json): the fused Pallas
+        # kernel is exact and fastest at every size on TPU; elsewhere the
+        # tiled-scan XLA path is the portable choice
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if shard_axis is None:
-        if m.nn_backend == "pallas" and jax.default_backend() == "tpu":
+        if backend == "pallas" and jax.default_backend() == "tpu":
             from ..ops import pallas_nn
 
             def nn1():
                 i, d = pallas_nn.pallas_nearest_neighbors(
                     sp, src.mask, tgt.xyz, tgt.mask)
                 return matching_ops.NNResult(i, d)
-        elif m.nn_backend == "grid":
+        elif backend == "grid":
             from ..ops import grid_nn as grid_ops
 
             def nn1():
@@ -108,11 +114,19 @@ def _match_one(
                                         cell=float(m.distance_threshold))
         else:
             nn1 = lambda: matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
-        # approx_min_k rides the TPU top-k unit; its CPU fallback is slower
-        # than the exact tiled path, so approx is TPU-only (identical
-        # results on CPU either way — the fallback is exact).
+        # kNN backend choice (crossover data: docs/nn_crossover.json):
+        # approx_min_k rides the TPU top-k unit — fastest at every size,
+        # ~95% recall, the default. Exact kNN on TPU = the fused Pallas
+        # kernel (recall 1.0, compiles in seconds at any size; the
+        # scan-merge XLA path takes minutes to compile at >=8k points).
+        # CPU always uses the exact tiled-scan path.
         if m.approx_knn and jax.default_backend() != "cpu":
             nnk = lambda: matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
+        elif backend == "pallas" and jax.default_backend() == "tpu":
+            from ..ops import pallas_knn as pallas_knn_mod
+
+            nnk = lambda: pallas_knn_mod.pallas_knn(
+                sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
         else:
             nnk = lambda: matching_ops.knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn, tile=tile)
         gather = lambda arr, idx: jnp.take(arr, idx, axis=-2)

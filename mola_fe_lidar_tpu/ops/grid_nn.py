@@ -19,13 +19,15 @@ clouds; since consumers threshold matches at ``distance_threshold ≤ cell``
 anyway, a dropped candidate degrades a pairing, never corrupts one (the
 distance check filters false positives from collisions).
 
-Performance envelope (measured, v5e): the query is **gather-bound** — TPU
-random gathers are slow relative to the MXU — so inside the ICP loop the
-brute-force MXU path wins by ~40× at scan sizes (≤16k points), and the
-engine default stays ``nn_backend="xla"``. The grid wins for *one-shot*
-queries against very large clouds (≥~32k: 131k×131k in ~0.4 s vs ~2 s brute)
-— e.g. localizing scans against a big aggregated map, where the index is
-built once and reused.
+Performance envelope (measured on v5e, full table in
+``docs/nn_crossover.json``): the query is **gather-bound** — TPU random
+gathers are slow relative to dense compute — and the grid LOSES to the
+brute-force paths at every measured size (e.g. 131k×131k: grid ~1.4 s vs
+the fused Pallas 1-NN ~0.31 s; 2k×2k: 13 ms vs <1 ms). It is kept for its
+*radius-limited semantics* (matches the matcher's distance threshold
+exactly, never pairs beyond ``cell``) and for memory-constrained regimes —
+not as a fast path. The engine default is ``nn_backend="auto"`` → the
+Pallas kernel on TPU.
 """
 
 from __future__ import annotations
