@@ -29,19 +29,35 @@ class GeneratorRawPoints:
     """Observation → ``target_layer`` cloud with range gating."""
 
     def __init__(self, target_layer="raw", capacity=None,
-                 min_range=0.0, max_range=0.0, keep_intensity=False):
+                 min_range=0.0, max_range=0.0, keep_intensity=False,
+                 keep_time=False):
         self.target_layer = target_layer
         self.capacity = capacity
         self.min_range = float(min_range)
         self.max_range = float(max_range)  # 0 = unlimited
         self.keep_intensity = bool(keep_intensity)
+        # ingest per-point sweep-time fractions (obs["time"] in [0,1]) as a
+        # "time" attr — what FilterDeskew consumes
+        self.keep_time = bool(keep_time)
 
     def __call__(self, obs: Dict[str, Any]) -> MetricMap:
         pts = np.asarray(obs["xyz"], dtype=np.float32)
         attrs = {}
         if self.keep_intensity and "intensity" in obs:
             attrs["intensity"] = np.asarray(obs["intensity"], np.float32)[:, None]
+        if self.keep_time and "time" in obs:
+            attrs["time"] = np.asarray(obs["time"], np.float32)[:, None]
         pc = from_points(pts, capacity=self.capacity, attrs=attrs)
+        if "valid" in obs:
+            # sensor-reported no-returns (e.g. the HDL-64 simulator's dropout
+            # and max-range misses) — fold into the mask up front
+            v = np.asarray(obs["valid"], np.float32)
+            pad = pc.mask.shape[0] - v.shape[0]
+            if pad >= 0:
+                v = np.pad(v, (0, pad))
+            else:
+                v = v[: pc.mask.shape[0]]
+            pc = PointCloud(pc.xyz, pc.mask * jnp.asarray(v), pc.attrs)
         if self.min_range > 0.0 or self.max_range > 0.0:
             pc = _range_gate(pc, self.min_range, self.max_range)
         return {self.target_layer: pc}

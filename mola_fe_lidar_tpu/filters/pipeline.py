@@ -410,16 +410,23 @@ class FilterDeskew:
 
     Given the current twist estimate (rad/s, m/s) and a per-point ``time``
     attr in [0, 1] (fraction of the scan period, 0 = scan start), each point
-    is re-expressed at the scan-end pose: ``p' = exp((t_i − 1)·T·ξ)⁻¹ … ``
-    — implemented as a batched se(3) exp over all points (one fused VPU
-    pass; no per-point host work). The twist is injected per scan by the
-    front-end via :meth:`set_twist`.
+    — captured in the sensor frame at its own fire time — is re-expressed
+    in one common frame: ``anchor="end"`` maps to the scan-end pose
+    (``p' = exp((t_i − 1)·T·ξ) p``), ``anchor="start"`` to the scan-start
+    pose (``p' = exp(t_i·T·ξ) p``). Start anchoring keeps estimated poses
+    aligned with scan-start timestamps (the gt convention); end anchoring
+    matches "map into the newest frame" pipelines. Implemented as a batched
+    se(3) exp over all points (one fused VPU pass; no per-point host work).
+    The twist is injected per scan by the front-end via :meth:`set_twist`.
     """
 
-    def __init__(self, input_layer="raw", output_layer=None, scan_period=0.1):
+    def __init__(self, input_layer="raw", output_layer=None, scan_period=0.1,
+                 anchor="end"):
         self.input_layer = input_layer
         self.output_layer = output_layer or input_layer
         self.scan_period = float(scan_period)
+        assert anchor in ("end", "start"), anchor
+        self.anchor = anchor
         self._twist = jnp.zeros(6)
 
     def set_twist(self, twist) -> None:
@@ -430,17 +437,21 @@ class FilterDeskew:
         if "time" not in pc.attrs:
             return mm  # nothing to deskew
         tw = self._twist if twist is None else twist
-        out = _deskew(pc, tw, self.scan_period)
+        out = _deskew(pc, tw, self.scan_period, self.anchor == "end")
         mm = dict(mm)
         mm[self.output_layer] = out
         return mm
 
 
-@jax.jit
-def _deskew(pc: PointCloud, twist, period) -> PointCloud:
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("to_end",))
+def _deskew(pc: PointCloud, twist, period, to_end: bool = True) -> PointCloud:
     from ..geometry import se3
     t_frac = pc.attrs["time"][..., 0]                   # [N] in [0,1]
-    tau = (t_frac - 1.0)[:, None] * (twist * period)    # [N,6] per-point delta
+    off = t_frac - 1.0 if to_end else t_frac
+    tau = off[:, None] * (twist * period)               # [N,6] per-point delta
     poses = se3.exp(tau)                                # batched exp
     xyz = jnp.einsum("nij,nj->ni", poses.R, pc.xyz, precision="highest") + poses.t
     xyz = jnp.where(pc.mask[:, None] > 0.5, xyz, 1e6)

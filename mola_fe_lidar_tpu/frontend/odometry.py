@@ -445,13 +445,23 @@ class LidarOdometry(FrontEndBase):
                 guess_R = jnp.asarray(gR, jnp.float32)
                 guess_t = jnp.asarray(gt_, jnp.float32)
 
+                # Deskew only with a VALIDATED twist: feeding an unvetted
+                # estimate into motion compensation is a positive-feedback
+                # loop (bad twist -> warped cloud -> worse alignment ->
+                # worse twist) that measurably diverges on skewed scans.
+                deskew_twist = (st.twist if st.twist_is_good
+                                else np.zeros(6))
+                for _f in self.filter_pipeline.filters:
+                    if hasattr(_f, "set_twist"):
+                        _f.set_twist(deskew_twist)
+
                 if self.params.fused_scan_step and self._fused_ok[kind]:
                     # ONE dispatch + ONE readback (see _get_fused_step)
                     try:
                         prof.enter("doProcess.fused_step")
                         mm, flat = self._get_fused_step(kind)(
                             raw_map, last_points, guess_R, guess_t,
-                            jnp.asarray(st.twist, jnp.float32))
+                            jnp.asarray(deskew_twist, jnp.float32))
                         flat = np.asarray(flat)  # the single readback
                         prof.leave("doProcess.fused_step")
                         total, finite = float(flat[51]), float(flat[52])

@@ -66,6 +66,30 @@ class _Pairings(NamedTuple):
 _AXES = np.eye(3, dtype=np.float32)  # numpy: safe under lazy import in a trace
 
 
+def _resolve_backend(backend: str, tgt_points: int) -> str:
+    """Resolve "auto" by measured crossover (docs/nn_crossover.json): the
+    XLA tiled scan wins at scan sizes (fuses well under vmap) but its
+    remote compile blows up past ~8k points; the fused Pallas kernel wins
+    above 4k and compiles in seconds at any size. CPU always uses XLA."""
+    if backend != "auto":
+        return backend
+    if jax.default_backend() == "tpu" and tgt_points > 4096:
+        return "pallas"
+    return "xla"
+
+
+def _nn_1(sp, src_mask, tgt, tile: int, backend: str):
+    """1-NN through the resolved backend (shared by matchers + quality)."""
+    backend = _resolve_backend(backend, tgt.xyz.shape[-2])
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        from ..ops import pallas_nn
+
+        i, d = pallas_nn.pallas_nearest_neighbors(sp, src_mask, tgt.xyz, tgt.mask)
+        return matching_ops.NNResult(i, d)
+    return matching_ops.nearest_neighbors(sp, src_mask, tgt.xyz, tgt.mask,
+                                          tile=tile)
+
+
 def _matcher_active(m: Matcher, it: jax.Array) -> jax.Array:
     """Iteration-window activation (runFromIteration/runUpToIteration,
     0 = unbounded; reference params/icp-settings-regular.yaml:37-39)."""
@@ -85,21 +109,9 @@ def _match_one(
     act = _matcher_active(m, it)
 
     # Dispatch single-device vs tensor-parallel (target point axis sharded)
-    backend = m.nn_backend
-    if backend == "auto":
-        # measured crossover (docs/nn_crossover.json): the fused Pallas
-        # kernel is exact and fastest at every size on TPU; elsewhere the
-        # tiled-scan XLA path is the portable choice
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    backend = _resolve_backend(m.nn_backend, tgt.xyz.shape[-2])
     if shard_axis is None:
-        if backend == "pallas" and jax.default_backend() == "tpu":
-            from ..ops import pallas_nn
-
-            def nn1():
-                i, d = pallas_nn.pallas_nearest_neighbors(
-                    sp, src.mask, tgt.xyz, tgt.mask)
-                return matching_ops.NNResult(i, d)
-        elif backend == "grid":
+        if backend == "grid":
             from ..ops import grid_nn as grid_ops
 
             def nn1():
@@ -113,7 +125,7 @@ def _match_one(
                 return grid_ops.grid_nn(sp, src.mask, tgt.xyz, tgt.mask,
                                         cell=float(m.distance_threshold))
         else:
-            nn1 = lambda: matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
+            nn1 = lambda: _nn_1(sp, src.mask, tgt, tile, backend)
         # kNN backend choice (crossover data: docs/nn_crossover.json):
         # approx_min_k rides the TPU top-k unit — fastest at every size,
         # ~95% recall, the default. Exact kNN on TPU = the fused Pallas
@@ -332,7 +344,7 @@ def _quality(pose, src_map, tgt_map, params: ICPParams, tile: int) -> jax.Array:
         tgt = tgt_map[qc.tgt_layer]
         sp = se3.transform(pose, src.xyz)
         if params.shard_axis is None:
-            nn = matching_ops.nearest_neighbors(sp, src.mask, tgt.xyz, tgt.mask, tile=tile)
+            nn = _nn_1(sp, src.mask, tgt, tile, "auto")
         else:
             nn = matching_ops.tp_nearest_neighbors(
                 sp, src.mask, tgt.xyz, tgt.mask, params.shard_axis, tile=tile)

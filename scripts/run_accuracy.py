@@ -1,0 +1,123 @@
+"""Accuracy north-star harness: HDL-64 replay at the KITTI operating point.
+
+No KITTI data exists on this host (no network), so the run uses the honest
+HDL-64 simulator (``obs.hdl64``: 64-beam ring geometry, azimuth-ordered
+points, per-point timestamps, occlusion, motion skew) at the reference's
+KITTI operating point — 131072-pt raw clouds, voxel 1.0 m, KF 3 m
+(reference params/kitti-default.yaml). Evaluates BOTH the keyframe
+trajectory and the per-scan trajectory (KITTI convention; VERDICT.md
+round-1 items #2/#7) and records the per-stage device profile (item #8).
+
+Run (real TPU): ``python scripts/run_accuracy.py --scans 500``
+Smoke (CPU):    ``python scripts/run_accuracy.py --scans 40 --azimuth 512 --cpu``
+
+Writes ``docs/accuracy.json`` (+ prints a summary line per config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+
+def build_cfg(deskew: bool, scale: float = 1.0):
+    from mola_fe_lidar_tpu.utils.config import load_yaml
+
+    cfg = load_yaml(str(REPO / "mola_fe_lidar_tpu/params/kitti-default.yaml"))
+    cfg = copy.deepcopy(cfg)
+    p = cfg["params"]
+    if scale < 1.0:
+        # smoke runs at reduced azimuth: shrink all static capacities
+        # proportionally (256-multiple buckets) so CPU compiles stay sane
+        bucket = lambda v: max(256, int(v * scale) // 256 * 256)
+        p["pointcloud_generator"][0]["params"]["capacity"] = bucket(131072)
+        for f in p["pointcloud_filter"]:
+            for key in ("edges_capacity", "planes_capacity",
+                        "decimated_capacity"):
+                if key in f.get("params", {}):
+                    f["params"][key] = bucket(f["params"][key])
+    if deskew:
+        p["pointcloud_generator"][0]["params"]["keep_time"] = True
+        # anchor=start keeps estimated poses aligned with scan-start
+        # timestamps — the gt association convention
+        p["pointcloud_filter"] = (
+            [{"class": "FilterDeskew",
+              "params": {"input_layer": "raw", "scan_period": 0.1,
+                         "anchor": "start"}}]
+            + p["pointcloud_filter"])
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=500)
+    ap.add_argument("--azimuth", type=int, default=2048)
+    ap.add_argument("--moving-cars", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-device virtual CPU mesh")
+    ap.add_argument("--configs", default="deskew,no_deskew")
+    ap.add_argument("--out", default=str(REPO / "docs" / "accuracy.json"))
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
+    from mola_fe_lidar_tpu.obs.hdl64 import hdl64_sequence
+    from mola_fe_lidar_tpu.obs.runner import run_replay
+
+    import jax
+    device = jax.default_backend()
+
+    t0 = time.perf_counter()
+    obs, gt = hdl64_sequence(n_scans=args.scans, n_azimuth=args.azimuth,
+                             moving_cars=args.moving_cars)
+    sim_s = time.perf_counter() - t0
+    print(f"simulated {args.scans} scans ({args.azimuth * 64} rays each) "
+          f"in {sim_s:.0f}s", file=sys.stderr)
+
+    results = {}
+    for name in args.configs.split(","):
+        cfg = build_cfg(deskew=(name == "deskew"), scale=args.azimuth / 2048)
+        res = run_replay(obs, cfg, gt_poses=gt)
+        row = {k: res[k] for k in (
+            "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",
+            "ate_rmse", "rpe_trans", "rpe_rot",
+            "ate_rmse_scan", "rpe_trans_scan", "rpe_rot_scan") if k in res}
+        row["scans_per_sec"] = res["n_scans"] / max(res["wall_s"], 1e-9)
+        # trajectory length for percentage-style drift numbers
+        length = sum(float(np.linalg.norm(gt[i + 1][1] - gt[i][1]))
+                     for i in range(len(gt) - 1))
+        row["trajectory_m"] = round(length, 1)
+        if "ate_rmse_scan" in row:
+            row["ate_pct_of_traj"] = round(
+                100.0 * row["ate_rmse_scan"] / length, 4)
+        mod = res["module"]
+        row["profile"] = mod.profiler.stats()
+        results[name] = row
+        print(json.dumps({k: v for k, v in row.items() if k != "profile"},
+                         default=float))
+        mod.shutdown()
+
+    out = {"device": device, "scans": args.scans, "azimuth": args.azimuth,
+           "rays_per_scan": args.azimuth * 64,
+           "moving_cars": args.moving_cars,
+           "operating_point": "kitti-default.yaml (voxel 1.0 m, KF 3 m)",
+           "results": results}
+    Path(args.out).parent.mkdir(exist_ok=True)
+    Path(args.out).write_text(json.dumps(out, indent=1, default=float))
+    print(json.dumps({"wrote": args.out}))
+
+
+if __name__ == "__main__":
+    main()
