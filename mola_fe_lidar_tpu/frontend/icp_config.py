@@ -29,9 +29,10 @@ _MATCHER_KINDS = {
 _SOLVER_KINDS = {
     "Solver_GaussNewton": "gauss_newton",
     "Solver_Horn": "horn",
-    "Solver_OLAE": "gauss_newton",  # behavioral stand-in: same LS objective
+    "Solver_OLAE": "olae",  # linear CGR attitude solve (solve/olae.py)
     "gauss_newton": "gauss_newton",
     "horn": "horn",
+    "olae": "olae",
 }
 
 _QUALITY_KINDS = {

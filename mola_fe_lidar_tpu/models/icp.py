@@ -323,12 +323,16 @@ def _solve(pose, plane: _Pairings, p2p_rows, params: ICPParams):
             inner_iterations=s.max_iterations, damping=s.damping,
         )
         return res.pose
-    if s.kind == "horn":
+    if s.kind in ("horn", "olae"):
         if not p2p_rows:
-            raise ValueError("horn solver needs at least one point2point matcher")
+            raise ValueError(f"{s.kind} solver needs at least one point2point matcher")
         p = jnp.concatenate([r.p for r in p2p_rows], axis=-2)
         q = jnp.concatenate([r.q for r in p2p_rows], axis=-2)
         w = jnp.concatenate([r.w for r in p2p_rows], axis=-1)
+        if s.kind == "olae":
+            from ..solve.olae import weighted_olae
+
+            return weighted_olae(p, q, w)
         return horn.weighted_horn(p, q, w)
     raise ValueError(f"unknown solver kind {s.kind!r}")
 
