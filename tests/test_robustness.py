@@ -119,3 +119,115 @@ class TestConcurrency:
             m.on_new_observation(o)
         m.drain()
         assert m.state.last_kf is not None  # restarted cleanly
+
+
+class TestAdverseGeometry:
+    """Quality/robustness must MEAN something on adverse inputs
+    (round-1 VERDICT weak #3: the old bench worlds were too clean)."""
+
+    @staticmethod
+    def _world(rng, n=2048, extent=30.0):
+        g = np.stack([rng.uniform(-extent, extent, n // 2),
+                      rng.uniform(-extent, extent, n // 2),
+                      rng.normal(0, 0.02, n // 2)], -1)
+        w1 = np.stack([rng.uniform(-extent, extent, n // 4),
+                       np.full(n // 4, extent), rng.uniform(0, 6, n // 4)], -1)
+        w2 = np.stack([np.full(n // 4, -extent),
+                       rng.uniform(-extent, extent, n // 4),
+                       rng.uniform(0, 6, n // 4)], -1)
+        return np.concatenate([g, w1, w2]).astype(np.float32)
+
+    @staticmethod
+    def _params(robust=True):
+        from mola_fe_lidar_tpu.models import (
+            ICPParams, Matcher, PairWeights, Quality, Solver,
+        )
+        return ICPParams(
+            max_iterations=60,
+            matchers=(Matcher(kind="point2plane_knn", distance_threshold=1.0,
+                              knn=6, plane_eigen_threshold=0.2),),
+            solver=Solver(kind="gauss_newton", max_iterations=10),
+            quality=(Quality(threshold_distance=0.3),),
+            weights=PairWeights(use_scale_outlier_detector=robust,
+                                use_robust_kernel=robust,
+                                robust_kernel="cauchy",
+                                robust_kernel_param=0.2),
+        )
+
+    def _run(self, rng, src_pts, tgt_pts, tau, robust=True):
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.cloud import from_points
+        from mola_fe_lidar_tpu.geometry import se3
+        from mola_fe_lidar_tpu.models.icp import align
+
+        cap = max(len(src_pts), len(tgt_pts))
+        cap = (cap + 255) // 256 * 256
+        true = se3.exp(jnp.asarray(tau))
+        res = align({"raw": from_points(src_pts, capacity=cap)},
+                    {"raw": from_points(tgt_pts, capacity=cap)},
+                    se3.identity(), self._params(robust))
+        err = float(se3.translation_norm(se3.compose(
+            res.pose, se3.inverse(true))))
+        return res, err
+
+    def test_robust_kernel_beats_plain_on_outliers(self, rng):
+        world = self._world(rng)
+        moved = world.copy()
+        k = int(0.15 * len(world))
+        moved[-k:] += np.array([4.0, 2.0, 0.0], np.float32)
+        tau = rng.normal(0, 0.05, 6).astype(np.float32)
+        from mola_fe_lidar_tpu.geometry import se3_np
+        Ri, ti = se3_np.exp(-tau)
+        src = (world @ Ri.T + ti).astype(np.float32)
+        _, err_robust = self._run(rng, src, moved, tau, robust=True)
+        _, err_plain = self._run(rng, src, moved, tau, robust=False)
+        assert err_robust < 0.05
+        assert err_robust < err_plain
+
+    def test_quality_separates_good_from_bad(self, rng):
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.cloud import from_points
+        from mola_fe_lidar_tpu.geometry import se3
+        from mola_fe_lidar_tpu.models.icp import align
+        import dataclasses
+
+        world = self._world(rng)
+        src1 = {"raw": from_points(world, capacity=2048)}
+        p = dataclasses.replace(self._params(False), max_iterations=1)
+        good = align(src1, src1, se3.identity(), p)
+        bad = align(src1, src1, se3.exp(
+            jnp.asarray([2.0, 0, 0, 0, 0, 0], jnp.float32)), p)
+        assert float(good.quality) > 0.9
+        assert float(bad.quality) < 0.5 * float(good.quality)
+
+    def test_partial_overlap_converges_with_honest_quality(self, rng):
+        world = self._world(rng, n=4096)
+        tau = rng.normal(0, 0.05, 6).astype(np.float32)
+        from mola_fe_lidar_tpu.geometry import se3_np
+        Ri, ti = se3_np.exp(-tau)
+        src_w = world[world[:, 0] < 10.0][:2048]
+        tgt_w = world[world[:, 0] > -10.0][:2048]
+        res, err = self._run(rng, (src_w @ Ri.T + ti).astype(np.float32),
+                             tgt_w, tau)
+        assert err < 0.1
+        # ~50% overlap must NOT report full quality
+        assert 0.25 < float(res.quality) < 0.85
+
+    def test_corridor_covariance_is_anisotropic(self, rng):
+        """Degenerate corridor: the 6x6 covariance must flag the
+        unconstrained along-corridor axis (sigma_x >> sigma_y)."""
+        n4 = 512
+        corridor = np.concatenate([
+            np.stack([rng.uniform(-30, 30, 2 * n4), rng.uniform(-4, 4, 2 * n4),
+                      rng.normal(0, 0.02, 2 * n4)], -1),
+            np.stack([rng.uniform(-30, 30, n4), np.full(n4, 4.0),
+                      rng.uniform(0, 4, n4)], -1),
+            np.stack([rng.uniform(-30, 30, n4), np.full(n4, -4.0),
+                      rng.uniform(0, 4, n4)], -1)]).astype(np.float32)
+        tau = np.array([0.3, 0.02, 0.0, 0, 0, 0.01], np.float32)
+        from mola_fe_lidar_tpu.geometry import se3_np
+        Ri, ti = se3_np.exp(-tau)
+        res, _ = self._run(rng, (corridor @ Ri.T + ti).astype(np.float32),
+                           corridor, tau)
+        cov = np.asarray(res.cov)
+        assert cov[0, 0] > 3.0 * cov[1, 1], (cov[0, 0], cov[1, 1])
