@@ -35,6 +35,27 @@ def _compact(flags: jax.Array, capacity: int, *arrays):
     return (jnp.where(mask > 0.5, 1.0, 0.0), *out)
 
 
+def _hash_perm(n: int) -> jax.Array:
+    """Fixed pseudo-random permutation of [0, n) (Knuth multiplicative)."""
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
+    return jnp.argsort(iota * jnp.uint32(2654435761))
+
+
+def _compact_uniform(flags: jax.Array, capacity: int, *arrays):
+    """Like :func:`_compact`, but decorrelated from input order first.
+
+    Inputs reaching these filters are voxel-sorted (lexicographic in x) or
+    azimuth-ordered; truncating an over-capacity selection in that order
+    keeps a spatially biased SLAB of the scene — which round 1/2 showed
+    destroys registration (low-x planes layers made ICP systematically
+    underestimate +x motion at HDL-64 scale). A fixed hash permutation
+    makes the kept subset spatially uniform instead.
+    """
+    perm = _hash_perm(flags.shape[0])
+    return _compact(jnp.take(flags, perm), capacity,
+                    *[jnp.take(a, perm, axis=0) for a in arrays])
+
+
 def _segment_start_positions(first: jax.Array) -> jax.Array:
     """For sorted runs marked by ``first``, the index where each point's
     run starts — used for intra-voxel striding."""
@@ -77,18 +98,14 @@ class FilterVoxelDownsample:
 def _voxel_downsample(xyz, mask, res, method, capacity) -> PointCloud:
     vs = voxel.lex_sort_by_voxel(xyz, mask, res)
     if method == "first":
-        # decorrelate from the voxel sort order before truncating: if the
-        # occupied-voxel count exceeds capacity, a sorted-order compaction
-        # would keep a spatially biased slab (low-x cells) — a fixed hash
-        # permutation makes the kept subset spatially uniform instead
-        n = vs.first.shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
-        perm = jnp.argsort(iota * jnp.uint32(2654435761))
-        m, pts = _compact(jnp.take(vs.first, perm), capacity,
-                          jnp.take(vs.xyz, perm, axis=0))
+        m, pts = _compact_uniform(vs.first, capacity, vs.xyz)
     else:  # mean
-        st = voxel.voxel_stats(vs, num_segments=capacity)
-        m, pts = st.valid, st.mean
+        # stats capacity decoupled from output capacity: occupied voxels
+        # never exceed the point count, so num_segments = N guarantees the
+        # stats NEVER overflow (overflow drops voxels in low-x-first order);
+        # voxels are then compacted uniformly to the output capacity
+        st = voxel.voxel_stats(vs, num_segments=xyz.shape[0])
+        m, pts = _compact_uniform(st.valid, capacity, st.mean)
     pts = jnp.where(m[:, None] > 0.5, pts, 1e6)
     return PointCloud(pts, m, {})
 
@@ -115,14 +132,13 @@ class FilterDecimate:
 
 @functools.partial(jax.jit, static_argnames=("k", "capacity"))
 def _decimate(xyz, mask, k, capacity) -> PointCloud:
-    # compact valid points to the front, then take a static stride
+    # compact valid points to the front, take a static stride, then a
+    # UNIFORM compaction: if the strided count still exceeds capacity, a
+    # plain [:capacity] would keep a scan-order (azimuth) slab
     m, pts = _compact(mask, xyz.shape[0], xyz)
-    pts = pts[::k][:capacity]
-    m = m[::k][:capacity]
-    pad = capacity - pts.shape[0]
-    if pad > 0:
-        pts = jnp.concatenate([pts, jnp.full((pad, 3), 1e6, pts.dtype)])
-        m = jnp.concatenate([m, jnp.zeros((pad,), m.dtype)])
+    pts = pts[::k]
+    m = m[::k]
+    m, pts = _compact_uniform(m, capacity, pts)
     pts = jnp.where(m[:, None] > 0.5, pts, 1e6)
     return PointCloud(pts, m, {})
 
@@ -187,7 +203,13 @@ class FilterEdgesPlanes:
                  eigen_noise_floor=None,
                  edges_capacity=2048, planes_capacity=4096,
                  decimated_capacity: Optional[int] = None,
-                 max_voxels=8192):
+                 max_voxels=None, edge_min_verticality=0.6):
+        # max_voxels=None sizes the voxel-stats table to the input point
+        # count — occupied voxels can never exceed it, so the table NEVER
+        # overflows. A manual cap trades compute for coverage: overflowing
+        # drops voxels in sorted (low-x-first) order, and points in
+        # overflowed voxels are masked out of edges/planes (never
+        # misclassified).
         self.input_layer = input_layer
         self.res = float(voxel_filter_resolution)
         self.full_decim = int(full_pointcloud_decimation)
@@ -205,16 +227,20 @@ class FilterEdgesPlanes:
         self.edges_capacity = int(edges_capacity)
         self.planes_capacity = int(planes_capacity)
         self.decimated_capacity = decimated_capacity
-        self.max_voxels = int(max_voxels)
+        self.max_voxels = None if max_voxels is None else int(max_voxels)
+        # reject near-horizontal line voxels (ground scan rings); 0 disables
+        self.edge_min_verticality = float(edge_min_verticality)
 
     def __call__(self, mm: MetricMap) -> MetricMap:
         pc = mm[self.input_layer]
         dec_cap = self.decimated_capacity or -(-pc.capacity // self.full_decim)
+        max_voxels = self.max_voxels or pc.xyz.shape[-2]
         edges, planes, decimated = _edges_planes(
             pc.xyz, pc.mask, self.res, self.voxel_decim, self.full_decim,
             self.min_e2_e0, self.max_e1_e0, self.min_e1_e0,
             self.eigen_noise_floor,
-            self.edges_capacity, self.planes_capacity, dec_cap, self.max_voxels,
+            self.edges_capacity, self.planes_capacity, dec_cap, max_voxels,
+            self.edge_min_verticality,
         )
         mm = dict(mm)
         mm["edges"] = edges
@@ -227,7 +253,8 @@ class FilterEdgesPlanes:
     "voxel_decim", "full_decim", "edges_cap", "planes_cap", "dec_cap", "max_voxels"))
 def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
                   min_e2_e0, max_e1_e0, min_e1_e0, noise_floor,
-                  edges_cap, planes_cap, dec_cap, max_voxels):
+                  edges_cap, planes_cap, dec_cap, max_voxels,
+                  edge_min_verticality):
     vs = voxel.lex_sort_by_voxel(xyz, mask, res)
     st = voxel.voxel_stats(vs, num_segments=max_voxels)
     evs = eigen3.sym_eigenvalues_3x3(st.cov)
@@ -236,14 +263,25 @@ def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
     enough = st.count >= 5.0
     is_plane = st.valid * enough * (e1 >= min_e1_e0 * e0)
     is_edge = st.valid * enough * (e2 >= min_e2_e0 * e0) * (e1 <= max_e1_e0 * e0) * (1.0 - is_plane)
+    # verticality gate: LiDAR scan RINGS on the ground classify as lines,
+    # but rings are sensor-centered artifacts that move WITH the sensor —
+    # matching them drags registration toward zero motion (measured: a
+    # +0.3 m/scan systematic undershoot, 98% of edge points were rings).
+    # Real edge features (poles, building corners) are near-vertical.
+    line_dir = eigen3.largest_eigenvector_3x3(st.cov, evs)
+    is_edge = is_edge * (jnp.abs(line_dir[..., 2]) >= edge_min_verticality)
     normals = eigen3.smallest_eigenvector_3x3(st.cov, evs)
     # planarity score in [0,1]: 1 - e0/e1 (sharp planes → 1)
     planarity = jnp.clip(1.0 - e0 / jnp.maximum(e1, 1e-9), 0.0, 1.0)
 
     seg = voxel.voxel_segments(vs, max_voxels)
-    seg_c = jnp.minimum(seg, max_voxels - 1)  # trash slot only affects masked pts
-    pt_plane = jnp.take(is_plane, seg_c) * vs.mask
-    pt_edge = jnp.take(is_edge, seg_c) * vs.mask
+    seg_c = jnp.minimum(seg, max_voxels - 1)
+    # points whose voxel overflowed max_voxels must NOT inherit the last
+    # real voxel's classification — they carry no stats and are dropped
+    # (size max_voxels generously; see the filter's docstring)
+    in_stats = (seg < max_voxels).astype(xyz.dtype)
+    pt_plane = jnp.take(is_plane, seg_c) * vs.mask * in_stats
+    pt_edge = jnp.take(is_edge, seg_c) * vs.mask * in_stats
     pt_normal = jnp.take(normals, seg_c, axis=0)
     pt_planarity = jnp.take(planarity, seg_c)
 
@@ -254,8 +292,11 @@ def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
     pos_in_voxel = idx - jnp.maximum(seg_start, 0)
     stride_keep = ((pos_in_voxel % voxel_decim) == 0).astype(xyz.dtype)
 
-    em, e_pts = _compact(pt_edge * stride_keep, edges_cap, vs.xyz)
-    pm, p_pts, p_n, p_pl = _compact(
+    # uniform compaction: over-capacity selections keep a spatially uniform
+    # subset, never a low-x slab (the voxel sort is lexicographic in x —
+    # slab truncation here made full-res odometry underestimate +x motion)
+    em, e_pts = _compact_uniform(pt_edge * stride_keep, edges_cap, vs.xyz)
+    pm, p_pts, p_n, p_pl = _compact_uniform(
         pt_plane * stride_keep, planes_cap, vs.xyz, pt_normal, pt_planarity)
 
     e_pts = jnp.where(em[:, None] > 0.5, e_pts, 1e6)
@@ -263,14 +304,11 @@ def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
     edges = PointCloud(e_pts, em, {})
     planes = PointCloud(p_pts, pm, {"normal": p_n, "planarity": p_pl[:, None]})
 
-    # full-cloud decimation (original order irrelevant; use sorted order)
-    dm, d_pts = _compact(vs.mask, n, vs.xyz)
-    d_pts = d_pts[::full_decim][:dec_cap]
-    dm = dm[::full_decim][:dec_cap]
-    pad = dec_cap - d_pts.shape[0]
-    if pad > 0:
-        d_pts = jnp.concatenate([d_pts, jnp.full((pad, 3), 1e6, d_pts.dtype)])
-        dm = jnp.concatenate([dm, jnp.zeros((pad,), dm.dtype)])
+    # full-cloud decimation: stride in sorted order (spatially stratified),
+    # then a uniform compaction bounds any overflow beyond dec_cap
+    stride_flag = ((jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+                    % full_decim) == 0).astype(xyz.dtype)
+    dm, d_pts = _compact_uniform(vs.mask * stride_flag, dec_cap, vs.xyz)
     d_pts = jnp.where(dm[:, None] > 0.5, d_pts, 1e6)
     decimated = PointCloud(d_pts, dm, {})
     return edges, planes, decimated
@@ -465,8 +503,9 @@ class FilterDecimateToCount:
 
     Honors the reference preset's ``decimate_to_point_count`` knob, which is
     declared in params/kitti-default.yaml:10 but dead in the reference code
-    (SURVEY.md §2d) — here it is a real filter: valid points are compacted
-    and truncated to ``count`` (input order, i.e. scan order).
+    (SURVEY.md §2d) — here it is a real filter: a spatially uniform (hash-
+    decorrelated) subset of ``count`` valid points (plain scan-order
+    truncation would keep an azimuth slab).
     """
 
     def __init__(self, input_layer="raw", output_layer=None, count=4096):
@@ -476,7 +515,7 @@ class FilterDecimateToCount:
 
     def __call__(self, mm: MetricMap) -> MetricMap:
         pc = mm[self.input_layer]
-        m, pts = _compact(pc.mask, self.count, pc.xyz)
+        m, pts = _compact_uniform(pc.mask, self.count, pc.xyz)
         pts = jnp.where(m[:, None] > 0.5, pts, 1e6)
         mm = dict(mm)
         mm[self.output_layer] = PointCloud(pts, m, {})
