@@ -42,6 +42,8 @@ def save_checkpoint(module: "LidarOdometry", ckpt_dir: str) -> None:
         "last_obs_tim": st.last_obs_tim,
         "twist": np.asarray(st.twist).tolist(),
         "twist_is_good": bool(st.twist_is_good),
+        "twist_smooth": np.asarray(st.twist_smooth).tolist(),
+        "twist_smooth_age": int(st.twist_smooth_age),
         "last_kf": st.last_kf,
         "accum_R": np.asarray(st.accum_since_last_kf_R).tolist(),
         "accum_t": np.asarray(st.accum_since_last_kf_t).tolist(),
@@ -78,6 +80,9 @@ def load_checkpoint(module: "LidarOdometry", ckpt_dir: str) -> None:
     st.last_obs_tim = meta["last_obs_tim"]
     st.twist = np.asarray(meta["twist"], np.float64)
     st.twist_is_good = meta["twist_is_good"]
+    if "twist_smooth" in meta:  # older checkpoints predate the damped twist
+        st.twist_smooth = np.asarray(meta["twist_smooth"], np.float64)
+        st.twist_smooth_age = int(meta["twist_smooth_age"])
     st.last_kf = meta["last_kf"]
     st.accum_since_last_kf_R = np.asarray(meta["accum_R"], np.float64)
     st.accum_since_last_kf_t = np.asarray(meta["accum_t"], np.float64)

@@ -177,6 +177,20 @@ class LidarOdometryParameters:
     # fuse filter pipeline + odometry ICP into ONE device dispatch per scan
     # (big win when every dispatch pays host<->device latency)
     fused_scan_step: bool = True
+    # Deskew-twist conditioning. Feeding the raw per-pair twist straight
+    # back into motion compensation is a one-scan-lag feedback loop with
+    # gain ~1 for the yaw component (a yaw-rate warp of a 360-degree sweep
+    # is nearly absorbed as a global yaw by ICP), i.e. marginally stable:
+    # measured on the HDL-64 simulator it oscillates (est yaw alternating
+    # +-3..5 deg/scan on a straight) and wrecks the trajectory. The deskew
+    # twist is therefore a SEPARATE, damped state: EMA over validated
+    # estimates plus a physical acceleration clamp. The raw twist (and the
+    # reference-parity velocity-model prior, reference :264-275, :305-311)
+    # is untouched.
+    deskew_twist_smoothing: float = 0.5  # EMA weight of the newest estimate
+    deskew_max_accel: float = 10.0       # m/s^2 per-scan velocity-change clamp
+    deskew_max_rot_accel: float = 5.0    # rad/s^2 per-scan rate-change clamp
+    deskew_twist_max_age: int = 5        # scans a smoothed twist stays usable
 
 
 @dataclass
@@ -212,6 +226,11 @@ class MethodState:
     last_points: Optional[MetricMap] = None
     twist: np.ndarray = field(default_factory=lambda: np.zeros(6))
     twist_is_good: bool = False
+    # damped deskew twist (EMA + accel clamp; see LidarOdometryParameters).
+    # age counts scans since the last validated update; a large age means
+    # "never seeded / stale — do not motion-compensate".
+    twist_smooth: np.ndarray = field(default_factory=lambda: np.zeros(6))
+    twist_smooth_age: int = 10**9
     last_kf: Optional[int] = None
     accum_since_last_kf_R: np.ndarray = field(default_factory=lambda: np.eye(3))
     accum_since_last_kf_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
@@ -284,6 +303,13 @@ class LidarOdometry(FrontEndBase):
         p.viz_decor_pointsize = float(g("viz_decor_pointsize", p.viz_decor_pointsize))
         p.max_queue_length = int(g("max_queue_length", p.max_queue_length))
         p.max_correction_ratio = float(g("max_correction_ratio", p.max_correction_ratio))
+        p.deskew_twist_smoothing = float(
+            g("deskew_twist_smoothing", p.deskew_twist_smoothing))
+        p.deskew_max_accel = float(g("deskew_max_accel", p.deskew_max_accel))
+        p.deskew_max_rot_accel = float(
+            g("deskew_max_rot_accel", p.deskew_max_rot_accel))
+        p.deskew_twist_max_age = int(
+            g("deskew_twist_max_age", p.deskew_twist_max_age))
         p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
         self._fused_cache = {}
 
@@ -354,6 +380,7 @@ class LidarOdometry(FrontEndBase):
             return dataclasses.replace(
                 st,
                 twist=np.array(st.twist),
+                twist_smooth=np.array(st.twist_smooth),
                 accum_since_last_kf_R=np.array(st.accum_since_last_kf_R),
                 accum_since_last_kf_t=np.array(st.accum_since_last_kf_t),
                 local_pose_graph=g,
@@ -445,12 +472,14 @@ class LidarOdometry(FrontEndBase):
                 guess_R = jnp.asarray(gR, jnp.float32)
                 guess_t = jnp.asarray(gt_, jnp.float32)
 
-                # Deskew only with a VALIDATED twist: feeding an unvetted
-                # estimate into motion compensation is a positive-feedback
-                # loop (bad twist -> warped cloud -> worse alignment ->
-                # worse twist) that measurably diverges on skewed scans.
-                deskew_twist = (st.twist if st.twist_is_good
-                                else np.zeros(6))
+                # Deskew only with the DAMPED twist (EMA + accel clamp):
+                # the raw per-pair estimate fed straight back into motion
+                # compensation is a one-scan-lag feedback loop that
+                # oscillates/diverges on skewed scans (see parameter docs).
+                deskew_twist = (
+                    st.twist_smooth
+                    if st.twist_smooth_age <= self.params.deskew_twist_max_age
+                    else np.zeros(6))
                 for _f in self.filter_pipeline.filters:
                     if hasattr(_f, "set_twist"):
                         _f.set_twist(deskew_twist)
@@ -528,6 +557,7 @@ class LidarOdometry(FrontEndBase):
                 st.twist_is_good = (
                     icp_out.success and icp_out.goodness >= self.params.min_icp_goodness
                 )
+                self._update_deskew_twist(dt)
 
                 # accumulate odometry since last KF (reference :319-331)
                 st.accum_since_last_kf_R, st.accum_since_last_kf_t = (
@@ -563,6 +593,26 @@ class LidarOdometry(FrontEndBase):
                 self.check_for_nearby_kfs()
         finally:
             prof.leave("doProcessNewObservation")
+
+    def _update_deskew_twist(self, dt: float) -> None:
+        """Damped deskew twist: EMA over VALIDATED raw estimates plus a
+        physical acceleration clamp (see LidarOdometryParameters docs for
+        why the raw per-pair twist must not drive motion compensation)."""
+        st, pp = self.state, self.params
+        if dt > 0 and st.twist_is_good:
+            if st.twist_smooth_age > pp.deskew_twist_max_age:
+                st.twist_smooth = np.array(st.twist, np.float64)
+            else:
+                dv = np.array(st.twist, np.float64) - st.twist_smooth
+                np.clip(dv[:3], -pp.deskew_max_accel * dt,
+                        pp.deskew_max_accel * dt, out=dv[:3])
+                np.clip(dv[3:], -pp.deskew_max_rot_accel * dt,
+                        pp.deskew_max_rot_accel * dt, out=dv[3:])
+                st.twist_smooth = (st.twist_smooth
+                                   + pp.deskew_twist_smoothing * dv)
+            st.twist_smooth_age = 0
+        else:
+            st.twist_smooth_age += 1
 
     def _get_fused_step(self, kind: AlignKind):
         """One jitted program per (filters, params): filter pipeline + ICP +

@@ -294,3 +294,67 @@ class TestEdgeRingRejection:
         on_pole = ((np.abs(exyz[:, 0] - 5) < 1) & (np.abs(exyz[:, 1] - 5) < 1)) | \
                   ((np.abs(exyz[:, 0] + 7) < 1) & (np.abs(exyz[:, 1] - 3) < 1))
         assert on_pole.mean() > 0.95, f"ring leak: {1 - on_pole.mean():.2%}"
+
+
+class TestDampedDeskewTwist:
+    """The deskew twist is a damped state, not the raw per-pair estimate.
+
+    Feeding the raw twist straight back into motion compensation is a
+    one-scan-lag feedback loop with ~unit gain on the yaw component
+    (measured oscillation of +-3..5 deg/scan on a straight HDL-64 sim
+    segment); the damped EMA + acceleration clamp keeps it stable.
+    """
+
+    def _module(self):
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        m = LidarOdometry()
+        m.params.deskew_twist_smoothing = 0.5
+        m.params.deskew_max_accel = 10.0
+        m.params.deskew_max_rot_accel = 5.0
+        m.params.deskew_twist_max_age = 5
+        return m
+
+    def test_seed_then_ema_and_clamp(self):
+        m = self._module()
+        st = m.state
+        # first validated estimate seeds the smooth twist directly
+        st.twist = np.array([8.0, 0, 0, 0, 0, 0.1])
+        st.twist_is_good = True
+        m._update_deskew_twist(0.1)
+        np.testing.assert_allclose(st.twist_smooth, st.twist)
+        assert st.twist_smooth_age == 0
+        # a wild jump is acceleration-clamped (10 m/s^2 * 0.1 s = 1 m/s)
+        # BEFORE the EMA: smooth moves by at most alpha * clamp
+        st.twist = np.array([20.0, 0, 0, 0, 0, 3.0])
+        m._update_deskew_twist(0.1)
+        assert st.twist_smooth[0] == pytest.approx(8.0 + 0.5 * 1.0)
+        assert st.twist_smooth[5] == pytest.approx(0.1 + 0.5 * 0.5)
+
+    def test_oscillating_measurements_are_damped(self):
+        # alternating +-w yaw-rate measurements (the observed failure mode)
+        # must NOT sustain in the smooth twist: |smooth| stays well below w
+        m = self._module()
+        st = m.state
+        st.twist_is_good = True
+        st.twist = np.array([0, 0, 0, 0, 0, 0.8])
+        m._update_deskew_twist(0.1)
+        for i in range(20):
+            st.twist = np.array([0, 0, 0, 0, 0, 0.8 * (-1) ** i])
+            m._update_deskew_twist(0.1)
+        assert abs(st.twist_smooth[5]) < 0.4
+
+    def test_stale_twist_expires(self):
+        m = self._module()
+        st = m.state
+        st.twist = np.array([5.0, 0, 0, 0, 0, 0])
+        st.twist_is_good = True
+        m._update_deskew_twist(0.1)
+        st.twist_is_good = False
+        for _ in range(6):
+            m._update_deskew_twist(0.1)
+        assert st.twist_smooth_age > m.params.deskew_twist_max_age
+        # and a fresh validated estimate re-seeds (no clamp against stale)
+        st.twist = np.array([-5.0, 0, 0, 0, 0, 0])
+        st.twist_is_good = True
+        m._update_deskew_twist(0.1)
+        np.testing.assert_allclose(st.twist_smooth, st.twist)
