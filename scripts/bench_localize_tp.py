@@ -1,0 +1,245 @@
+"""Map-localize latency (real TPU) + TP scaling shape (virtual CPU mesh).
+
+VERDICT.md round-1 item #6: "one recorded run: 131k-pt aggregated map,
+scan-vs-map localization and a TP-sharded align, with timings". Two modes
+because the two halves need different backends:
+
+* ``--mode localize`` (run on the real chip): builds a 131k-capacity map by
+  aggregating gt-posed HDL-64 keyframe scans (obs/hdl64.py simulator at the
+  KITTI operating point), then times ``MapLocalizer.localize`` on held-out
+  scans with a perturbed initial guess — one readback per call (CLAUDE.md
+  timing rule). Also times a raw single-chip align at 32k/131k target
+  capacity (the TP=1 anchor).
+* ``--mode tp`` (8-device virtual CPU mesh, forced before jax import):
+  the same 32k-point align under ``make_sharded_align`` with the target
+  point axis sharded over model∈{1,2,4,8}. Only one real TPU chip exists on
+  this host, so multi-chip TP *timings* here are CPU-mesh shape numbers —
+  what they establish is (a) the sharding compiles+executes at scale and
+  (b) per-chip work actually shrinks with the mesh; absolute ICI speedups
+  need real multi-chip hardware.
+
+Results merge into ``docs/localize_tp.json`` (mode keys written
+independently so the two runs can happen on different backends).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+OUT = REPO / "docs" / "localize_tp.json"
+SEED = 11
+
+
+def _timed(fn, readback, iters=20):
+    res = fn()
+    readback(res)  # compile + settle
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        res = fn()
+        readback(res)
+        times.append(time.perf_counter() - t0)
+    return res, float(np.median(times) * 1e3)  # ms
+
+
+def _voxel_first(points: np.ndarray, res: float) -> np.ndarray:
+    cells = np.floor(points / res).astype(np.int64)
+    _, idx = np.unique(cells, axis=0, return_index=True)
+    return points[np.sort(idx)]
+
+
+def _hdl64_scans(n_scans: int, n_azimuth: int = 2048):
+    from mola_fe_lidar_tpu.obs.hdl64 import hdl64_sequence
+    return hdl64_sequence(n_scans=n_scans, n_azimuth=n_azimuth)
+
+
+def _scan_points(obs) -> np.ndarray:
+    m = obs["valid"] > 0
+    return obs["xyz"][m]
+
+
+def run_localize(args):
+    import jax
+    from mola_fe_lidar_tpu.cloud import from_points
+    from mola_fe_lidar_tpu.frontend.localizer import MapLocalizer
+    from mola_fe_lidar_tpu.geometry import se3
+    from mola_fe_lidar_tpu.models import align
+    from mola_fe_lidar_tpu.models.icp import ICPResult  # noqa: F401 (doc)
+
+    rng = np.random.default_rng(SEED)
+    t0 = time.perf_counter()
+    obs, gt = _hdl64_scans(args.scans)
+    sim_s = time.perf_counter() - t0
+    print(f"simulated {len(obs)} scans in {sim_s:.0f}s", file=sys.stderr)
+
+    # keyframes every 4 scans (~3 m at 8 m/s, the KITTI KF spacing)
+    kf_idx = list(range(0, len(obs), 4))
+    loc = MapLocalizer(map_capacity=1 << 17, voxel_size=0.5)
+    items = []
+    for i in kf_idx:
+        pts = _scan_points(obs[i])
+        items.append(({"raw": from_points(pts, capacity=1 << 17)}, gt[i]))
+    loc.build(items)
+    map_pts = int(np.asarray(loc.map_cloud.mask).sum())
+    print(f"map: {map_pts} pts in capacity {loc.map_capacity}", file=sys.stderr)
+
+    # held-out queries: mid-gap scans, scan cloud voxel 0.5 m → 4096 cap
+    q_idx = [i for i in range(2, len(obs), 8)][: args.queries]
+    rows = []
+    for i in q_idx:
+        pts = _voxel_first(_scan_points(obs[i]), 0.5)
+        scan = {"raw": from_points(pts, capacity=4096)}
+        R, t = gt[i]
+        true = se3.Pose(R=np.asarray(R, np.float32), t=np.asarray(t, np.float32))
+        # perturbed init: 0.5 m translation, 2 deg yaw — a realistic prior
+        dt = rng.normal(0, 0.5, 3).astype(np.float32)
+        dyaw = np.float32(rng.normal(0, np.deg2rad(2.0)))
+        delta = se3.exp(np.array([*dt, 0, 0, dyaw], np.float32))
+        init = se3.compose(true, delta)
+        res, ms = _timed(lambda s=scan, g=init: loc.localize(s, g),
+                         lambda r: np.asarray(r.quality), iters=args.iters)
+        err = float(se3.translation_norm(se3.compose(res.pose, se3.inverse(true))))
+        rows.append({"scan": i, "latency_ms": round(ms, 2),
+                     "quality": round(float(res.quality), 4),
+                     "trans_err_m": round(err, 4)})
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    # raw single-chip align anchors at 32k / 131k target capacity (TP=1)
+    anchors = []
+    for cap in (1 << 15, 1 << 17):
+        tgt_pts = np.asarray(loc.map_cloud.xyz)[
+            np.asarray(loc.map_cloud.mask) > 0]
+        if len(tgt_pts) > cap:
+            tgt_pts = tgt_pts[:: max(1, len(tgt_pts) // cap)][:cap]
+        tgt = {"raw": from_points(tgt_pts, capacity=cap)}
+        pts = _voxel_first(_scan_points(obs[q_idx[0]]), 0.5)
+        R, t = gt[q_idx[0]]
+        world_scan = pts @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
+        src = {"raw": from_points(world_scan, capacity=4096)}
+        p = loc.params
+        import dataclasses
+        p = dataclasses.replace(
+            p,
+            matchers=tuple(dataclasses.replace(m, src_layer="raw", tgt_layer="raw")
+                           for m in p.matchers),
+            quality=tuple(dataclasses.replace(q, src_layer="raw", tgt_layer="raw")
+                          for q in p.quality))
+        _, ms = _timed(lambda s=src, tg=tgt, pp=p: align(s, tg, se3.identity(), pp),
+                       lambda r: np.asarray(r.quality), iters=args.iters)
+        anchors.append({"target_capacity": cap, "align_ms": round(ms, 2)})
+        print(json.dumps(anchors[-1]), file=sys.stderr)
+
+    lat = [r["latency_ms"] for r in rows]
+    return {
+        "device": jax.default_backend(),
+        "map_points": map_pts,
+        "map_capacity": loc.map_capacity,
+        "scan_capacity": 4096,
+        "queries": rows,
+        "latency_ms_median": round(float(np.median(lat)), 2),
+        "trans_err_m_median": round(float(np.median(
+            [r["trans_err_m"] for r in rows])), 4),
+        "single_chip_align_anchors": anchors,
+    }
+
+
+def run_tp(args):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    import jax.numpy as jnp
+
+    from mola_fe_lidar_tpu.cloud import from_points
+    from mola_fe_lidar_tpu.geometry import se3
+    from mola_fe_lidar_tpu.models import ICPParams, Matcher, PairWeights, Solver, align
+    from mola_fe_lidar_tpu.parallel import make_mesh, make_sharded_align
+
+    p2p = ICPParams(
+        max_iterations=20,
+        matchers=(Matcher(kind="point2point", distance_threshold=2.0),),
+        solver=Solver(kind="horn"),
+        weights=PairWeights(use_scale_outlier_detector=False),
+    )
+
+    rng = np.random.default_rng(SEED)
+    cap = args.tp_capacity
+    # enough sim coverage that the aggregated map has >= cap UNIQUE voxels —
+    # jitter-tiled duplicates create genuinely ambiguous NN ties and the TP
+    # and single-device runs then settle in different (equally good) optima
+    scans, az, vox = 12, 1024, 0.15
+    while True:
+        obs, gt = _hdl64_scans(scans, n_azimuth=az)
+        world = np.concatenate([
+            _scan_points(o) @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
+            for o, (R, t) in zip(obs, gt)])
+        world = _voxel_first(world, vox)
+        if len(world) >= cap or az >= 4096:
+            break
+        az *= 2
+    if len(world) < cap:
+        raise SystemExit(f"sim world too small: {len(world)} < {cap}")
+    world = world[rng.permutation(len(world))[:cap]].astype(np.float32)
+    tau = rng.normal(0, 0.05, 6).astype(np.float32)
+    true = se3.exp(jnp.asarray(tau))
+    sel = rng.permutation(cap)[:2048]
+    src_pts = np.asarray(se3.transform(se3.inverse(true), jnp.asarray(world[sel])))
+    src = {"raw": from_points(src_pts, capacity=2048)}
+    tgt = {"raw": from_points(world, capacity=cap)}
+
+    ref = align(src, tgt, se3.identity(), p2p)
+    ref_t = np.asarray(ref.pose.t)
+
+    rows = []
+    for tp in (1, 2, 4, 8):
+        mesh = make_mesh({"model": tp}, devices=jax.devices()[:tp])
+        f = make_sharded_align(mesh, p2p)
+        res, ms = _timed(lambda: f(src, tgt, se3.identity()),
+                         lambda r: np.asarray(r.quality), iters=args.iters)
+        dt = float(np.linalg.norm(np.asarray(res.pose.t) - ref_t))
+        err = float(se3.translation_norm(se3.compose(res.pose, se3.inverse(true))))
+        rows.append({"tp": tp, "wall_ms": round(ms, 2),
+                     "per_chip_points": cap // tp,
+                     "pose_diff_vs_single_m": round(dt, 6),
+                     "trans_err_vs_true_m": round(err, 6),
+                     "quality": round(float(res.quality), 4)})
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    return {
+        "backend": "virtual CPU mesh (one real TPU chip on this host; "
+                   "timings are scaling-shape only, not device perf)",
+        "target_capacity": cap,
+        "src_capacity": 2048,
+        "rows": rows,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("localize", "tp"), required=True)
+    ap.add_argument("--scans", type=int, default=60)
+    ap.add_argument("--queries", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--tp-capacity", type=int, default=1 << 15)
+    args = ap.parse_args()
+
+    out = json.loads(OUT.read_text()) if OUT.exists() else {}
+    if args.mode == "localize":
+        out["localize"] = run_localize(args)
+    else:
+        out["tp"] = run_tp(args)
+    OUT.parent.mkdir(exist_ok=True)
+    OUT.write_text(json.dumps(out, indent=1))
+    print(json.dumps({"wrote": str(OUT), "mode": args.mode}))
+
+
+if __name__ == "__main__":
+    main()
