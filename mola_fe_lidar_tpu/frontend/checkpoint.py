@@ -44,6 +44,8 @@ def save_checkpoint(module: "LidarOdometry", ckpt_dir: str) -> None:
         "twist_is_good": bool(st.twist_is_good),
         "twist_smooth": np.asarray(st.twist_smooth).tolist(),
         "twist_smooth_age": int(st.twist_smooth_age),
+        "world_R": np.asarray(st.world_R).tolist(),
+        "world_t": np.asarray(st.world_t).tolist(),
         "last_kf": st.last_kf,
         "accum_R": np.asarray(st.accum_since_last_kf_R).tolist(),
         "accum_t": np.asarray(st.accum_since_last_kf_t).tolist(),
@@ -83,6 +85,13 @@ def load_checkpoint(module: "LidarOdometry", ckpt_dir: str) -> None:
     if "twist_smooth" in meta:  # older checkpoints predate the damped twist
         st.twist_smooth = np.asarray(meta["twist_smooth"], np.float64)
         st.twist_smooth_age = int(meta["twist_smooth_age"])
+    if "world_R" in meta:
+        st.world_R = np.asarray(meta["world_R"], np.float64)
+        st.world_t = np.asarray(meta["world_t"], np.float64)
+        # NOTE: the rolling local map itself is NOT serialized; in
+        # local_map mode the first post-resume scans fall back to
+        # last-scan odometry until the next keyframe re-seeds the map
+        # (st.local_map is None => use_map is False).
     st.last_kf = meta["last_kf"]
     st.accum_since_last_kf_R = np.asarray(meta["accum_R"], np.float64)
     st.accum_since_last_kf_t = np.asarray(meta["accum_t"], np.float64)

@@ -1,0 +1,123 @@
+"""Rolling local map for scan-to-map odometry.
+
+The reference registers each scan against the PREVIOUS scan only
+(reference src/LidarOdometry.cpp:231-311), so per-pair noise integrates
+into drift. Scan-to-map odometry — register against an aggregate of the
+last K keyframe clouds — averages that noise out and is the standard
+production upgrade (the nearby-KF/LC machinery is unchanged; this only
+swaps the odometry ICP's target). Measured on the HDL-64 simulator at the
+KITTI operating point it cuts per-scan ATE by ~5x (docs/accuracy.json).
+
+Aggregation is a host-side, per-keyframe event (every ~3 m): transform
+each kept keyframe's layers into the odometry-world frame (rotating
+``normal`` attrs), concatenate, voxel-first dedup, and pad to a FIXED
+capacity per layer (single-scan capacity x a multiplier, bucketed to 256)
+so the device-side ICP program never recompiles between keyframes. All
+per-scan compute stays on device; the map is just a different, larger
+target cloud for the same fused align program.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Deque, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..cloud.metric_map import MetricMap, PointCloud, from_points
+
+
+def _round_up(n: int, mult: int = 256) -> int:
+    return max(mult, (n + mult - 1) // mult * mult)
+
+
+def _voxel_first(xyz: np.ndarray, res: float) -> np.ndarray:
+    """Indices of the first point in each occupied voxel (keeps attrs)."""
+    cells = np.floor(xyz / res).astype(np.int64)
+    _, idx = np.unique(cells, axis=0, return_index=True)
+    return np.sort(idx)
+
+
+class LocalMap:
+    """Aggregate the last ``window`` keyframes' layers in the world frame."""
+
+    def __init__(self, window: int = 10, capacity_mult: int = 4,
+                 dedup_voxel: float = 0.25, keep_layers=None):
+        # dedup_voxel must stay BELOW the quality evaluator's
+        # thresholdDistance (0.30 m in the KITTI preset): a coarser pitch
+        # systematically pushes nearest map points past the pairing
+        # threshold and deflates the paired-ratio goodness that gates
+        # keyframe creation (measured: 0.376 @ 0.5 m vs 0.429 @ 0.25 m on
+        # an identical aligned pair).
+        self.window = int(window)
+        self.capacity_mult = int(capacity_mult)
+        self.dedup_voxel = float(dedup_voxel)
+        # only layers some matcher/quality stage targets — carrying the
+        # raw ingest layer (131k caps) through the map would waste HBM and
+        # host aggregation time for nothing
+        self.keep_layers = set(keep_layers) if keep_layers is not None else None
+        self._kfs: Deque[Tuple[Dict, Tuple[np.ndarray, np.ndarray]]] = deque(
+            maxlen=self.window)
+        self._caps: Dict[str, int] = {}
+
+    def __len__(self) -> int:
+        return len(self._kfs)
+
+    def entries(self):
+        """(layers, (R, t)) pairs — for checkpointing."""
+        return list(self._kfs)
+
+    def add_keyframe(self, mm: MetricMap,
+                     world_pose: Tuple[np.ndarray, np.ndarray]) -> None:
+        """Store a keyframe's valid points (host copies) at its world pose."""
+        R = np.asarray(world_pose[0], np.float64)
+        t = np.asarray(world_pose[1], np.float64)
+        layers = {}
+        for name, pc in mm.items():
+            if self.keep_layers is not None and name not in self.keep_layers:
+                continue
+            m = np.asarray(pc.mask) > 0.5
+            xyz = np.asarray(pc.xyz)[m]
+            attrs = {k: np.asarray(v)[m] for k, v in pc.attrs.items()}
+            layers[name] = (xyz, attrs)
+            if name not in self._caps:
+                self._caps[name] = _round_up(
+                    pc.capacity * self.capacity_mult)
+        self._kfs.append((layers, (R, t)))
+
+    def build(self) -> MetricMap:
+        """Aggregated fixed-capacity map in the world frame.
+
+        Per layer: transform every kept keyframe into world (normals
+        rotate), voxel-first dedup (never a scan-order slab), then — only
+        if still over capacity — a hash-uniform subsample.
+        """
+        if not self._kfs:
+            raise RuntimeError("LocalMap: no keyframes added")
+        names = list(self._kfs[-1][0].keys())
+        out: MetricMap = {}
+        for name in names:
+            xs, attr_lists = [], []
+            for layers, (R, t) in self._kfs:
+                if name not in layers:
+                    continue
+                xyz, attrs = layers[name]
+                xs.append(xyz @ R.T.astype(np.float32) + t.astype(np.float32))
+                a = dict(attrs)
+                if "normal" in a:
+                    a = dict(a)
+                    a["normal"] = a["normal"] @ R.T.astype(np.float32)
+                attr_lists.append(a)
+            xyz = np.concatenate(xs).astype(np.float32)
+            attrs = {k: np.concatenate([a[k] for a in attr_lists])
+                     for k in (attr_lists[0] if attr_lists else {})}
+            keep = _voxel_first(xyz, self.dedup_voxel)
+            cap = self._caps[name]
+            if len(keep) > cap:
+                h = (keep.astype(np.uint64) * np.uint64(2654435761)
+                     ) % np.uint64(1 << 32)
+                keep = keep[np.argsort(h)][:cap]
+            xyz = xyz[keep]
+            attrs = {k: v[keep] for k, v in attrs.items()}
+            out[name] = from_points(xyz, capacity=cap, attrs=attrs)
+        return out

@@ -191,6 +191,20 @@ class LidarOdometryParameters:
     deskew_max_accel: float = 10.0       # m/s^2 per-scan velocity-change clamp
     deskew_max_rot_accel: float = 5.0    # rad/s^2 per-scan rate-change clamp
     deskew_twist_max_age: int = 5        # scans a smoothed twist stays usable
+    # Odometry ICP target. "last_scan" = reference behavior (register
+    # against the previous scan, reference :231-311). "local_map" =
+    # scan-to-map: register against a rolling aggregate of the last
+    # ``local_map_keyframes`` keyframe clouds (frontend/local_map.py) —
+    # per-pair noise averages out instead of integrating into drift
+    # (~5x lower ATE on the HDL-64 sim, docs/accuracy.json). Keyframe
+    # decisions, factors, nearby-KF and loop-closure logic are unchanged.
+    odometry_reference: str = "last_scan"
+    local_map_keyframes: int = 10
+    local_map_capacity_mult: int = 4     # map layer cap = scan cap x this
+    local_map_dedup_voxel: float = 0.25  # [m] dedup pitch; keep BELOW the
+    # quality thresholdDistance or the paired-ratio KF gate deflates
+    local_map_reseed_after: int = 10     # consecutive weak map aligns before
+    # dropping the map (next keyframe reseeds it fresh)
 
 
 @dataclass
@@ -231,6 +245,12 @@ class MethodState:
     # "never seeded / stale — do not motion-compensate".
     twist_smooth: np.ndarray = field(default_factory=lambda: np.zeros(6))
     twist_smooth_age: int = 10**9
+    # scan-to-map odometry state: current world-frame pose estimate (the
+    # odometry frame anchored at the first keyframe) and the device-side
+    # aggregated local-map target (None = fall back to last-scan mode)
+    world_R: np.ndarray = field(default_factory=lambda: np.eye(3))
+    world_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    local_map: Optional[MetricMap] = None
     last_kf: Optional[int] = None
     accum_since_last_kf_R: np.ndarray = field(default_factory=lambda: np.eye(3))
     accum_since_last_kf_t: np.ndarray = field(default_factory=lambda: np.zeros(3))
@@ -269,6 +289,8 @@ class LidarOdometry(FrontEndBase):
         # KeyError/AttributeError/...) propagate instead of silently slowing
         # every subsequent scan
         self._fused_ok: Dict[AlignKind, bool] = {k: True for k in AlignKind}
+        self._local_map_builder = None  # created on first KF in local_map mode
+        self._map_fail_streak = 0       # consecutive weak scan-to-map aligns
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -310,6 +332,20 @@ class LidarOdometry(FrontEndBase):
             g("deskew_max_rot_accel", p.deskew_max_rot_accel))
         p.deskew_twist_max_age = int(
             g("deskew_twist_max_age", p.deskew_twist_max_age))
+        p.odometry_reference = str(
+            g("odometry_reference", p.odometry_reference))
+        if p.odometry_reference not in ("last_scan", "local_map"):
+            raise ValueError(
+                f"odometry_reference must be last_scan|local_map, "
+                f"got {p.odometry_reference!r}")
+        p.local_map_keyframes = int(
+            g("local_map_keyframes", p.local_map_keyframes))
+        p.local_map_capacity_mult = int(
+            g("local_map_capacity_mult", p.local_map_capacity_mult))
+        p.local_map_dedup_voxel = float(
+            g("local_map_dedup_voxel", p.local_map_dedup_voxel))
+        p.local_map_reseed_after = int(
+            g("local_map_reseed_after", p.local_map_reseed_after))
         p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
         self._fused_cache = {}
 
@@ -356,6 +392,8 @@ class LidarOdometry(FrontEndBase):
         """Reinitialize state (reference :160)."""
         with self._state_lock:
             self.state = MethodState()
+            self._local_map_builder = None
+            self._map_fail_streak = 0
 
     def state_copy(self) -> MethodState:
         """Deep snapshot accessor (reference stateCopy(), LidarOdometry.h:163).
@@ -381,6 +419,8 @@ class LidarOdometry(FrontEndBase):
                 st,
                 twist=np.array(st.twist),
                 twist_smooth=np.array(st.twist_smooth),
+                world_R=np.array(st.world_R),
+                world_t=np.array(st.world_t),
                 accum_since_last_kf_R=np.array(st.accum_since_last_kf_R),
                 accum_since_last_kf_t=np.array(st.accum_since_last_kf_t),
                 local_pose_graph=g,
@@ -469,6 +509,17 @@ class LidarOdometry(FrontEndBase):
                 else:
                     gR, gt_ = np.eye(3), np.zeros(3)
                     kind = AlignKind.NEARBY_ALIGN  # without-vel set (ref :287-290)
+                # scan-to-map: the ICP target is the rolling local map in
+                # the world frame, so the guess composes the world pose
+                # with the velocity prior and ICP returns a WORLD pose
+                use_map = (self.params.odometry_reference == "local_map"
+                           and st.local_map is not None)
+                if use_map:
+                    gR, gt_ = se3_np.compose((st.world_R, st.world_t),
+                                             (gR, gt_))
+                    icp_target = st.local_map
+                else:
+                    icp_target = last_points
                 guess_R = jnp.asarray(gR, jnp.float32)
                 guess_t = jnp.asarray(gt_, jnp.float32)
 
@@ -489,7 +540,7 @@ class LidarOdometry(FrontEndBase):
                     try:
                         prof.enter("doProcess.fused_step")
                         mm, flat = self._get_fused_step(kind)(
-                            raw_map, last_points, guess_R, guess_t,
+                            raw_map, icp_target, guess_R, guess_t,
                             jnp.asarray(deskew_twist, jnp.float32))
                         flat = np.asarray(flat)  # the single readback
                         prof.leave("doProcess.fused_step")
@@ -526,10 +577,42 @@ class LidarOdometry(FrontEndBase):
                         return
                     icp_out = self.run_one_icp(ICPInput(
                         align_kind=kind, to_id=-1, from_id=-1,
-                        to_pc=this_points, from_pc=last_points,
+                        to_pc=this_points, from_pc=icp_target,
                         init_guess_to_wrt_from=se3.Pose(guess_R, guess_t),
                         debug_str="icp_latest",
                     ))
+
+                # Scan-to-map resilience: a weak map align (corner
+                # ghosting, stale map after a failure stretch) must not
+                # poison the odometry — retry scan-to-scan and keep the
+                # better result; reseed a persistently failing map.
+                result_is_world = use_map
+                if use_map and icp_out.goodness < self.params.min_icp_goodness:
+                    self._map_fail_streak += 1
+                    prof.register_user_measure("doProcess.map_align_weak", 1)
+                    fgR, fgt = (se3_np.exp(st.twist * dt)
+                                if (st.twist_is_good and dt > 0)
+                                else (np.eye(3), np.zeros(3)))
+                    fb = self.run_one_icp(ICPInput(
+                        align_kind=kind, to_id=-1, from_id=-1,
+                        to_pc=this_points, from_pc=last_points,
+                        init_guess_to_wrt_from=se3.Pose(
+                            jnp.asarray(fgR, jnp.float32),
+                            jnp.asarray(fgt, jnp.float32)),
+                        debug_str="icp_latest_s2s_fallback",
+                    ))
+                    if fb.goodness > icp_out.goodness:
+                        icp_out = fb
+                        result_is_world = False
+                    if self._map_fail_streak > self.params.local_map_reseed_after:
+                        self.log.warning(
+                            "local map failing for %d scans; reseeding at "
+                            "next keyframe", self._map_fail_streak)
+                        self._local_map_builder = None
+                        st.local_map = None
+                        self._map_fail_streak = 0
+                elif use_map:
+                    self._map_fail_streak = 0
             else:
                 prof.enter("doProcess.filter")
                 this_points = self.filter_pipeline(raw_map)
@@ -550,6 +633,17 @@ class LidarOdometry(FrontEndBase):
             else:
 
                 R, t = _np_pose(icp_out.found_pose_to_wrt_from)
+                if result_is_world:
+                    # ICP returned the WORLD pose; downstream bookkeeping
+                    # (twist, accum, factors) works on the scan-to-scan
+                    # relative pose rel = world_prev^-1 * world_new
+                    world_new = (R, t)
+                    R = st.world_R.T @ world_new[0]
+                    t = st.world_R.T @ (world_new[1] - st.world_t)
+                    st.world_R, st.world_t = world_new
+                else:
+                    st.world_R, st.world_t = se3_np.compose(
+                        (st.world_R, st.world_t), (R, t))
                 # twist update (reference :305-311; omega part included) —
                 # numpy log: no device dispatch for host bookkeeping
                 if dt > 0 and icp_out.success:
@@ -721,6 +815,30 @@ class LidarOdometry(FrontEndBase):
         st.accum_since_last_kf_R = np.eye(3)
         st.accum_since_last_kf_t = np.zeros(3)
         st.last_kf = kf_id
+
+        if self.params.odometry_reference == "local_map":
+            # fold this keyframe into the rolling map target (host-side,
+            # once per ~KF-spacing meters; the per-scan path stays on device)
+            prof.enter("doProcess.local_map_build")
+            if self._local_map_builder is None:
+                from .local_map import LocalMap
+                # only layers the odometry ICP stages actually target
+                keep = set()
+                for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
+                    for stage in self.icp_cases.get(kind, ()):
+                        for mt in stage.matchers:
+                            keep.add(mt.tgt_layer)
+                        for q in stage.quality:
+                            keep.add(q.tgt_layer)
+                self._local_map_builder = LocalMap(
+                    window=self.params.local_map_keyframes,
+                    capacity_mult=self.params.local_map_capacity_mult,
+                    dedup_voxel=self.params.local_map_dedup_voxel,
+                    keep_layers=keep or None)
+            self._local_map_builder.add_keyframe(
+                points, (st.world_R, st.world_t))
+            st.local_map = self._local_map_builder.build()
+            prof.leave("doProcess.local_map_build")
 
     # ------------------------------------------------------------------
     # nearby-KF / loop-closure search (reference checkForNearbyKFs :516-744)

@@ -29,7 +29,7 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
-def build_cfg(deskew: bool, scale: float = 1.0):
+def build_cfg(deskew: bool, scale: float = 1.0, local_map: bool = False):
     from mola_fe_lidar_tpu.utils.config import load_yaml
 
     cfg = load_yaml(str(REPO / "mola_fe_lidar_tpu/params/kitti-default.yaml"))
@@ -54,6 +54,8 @@ def build_cfg(deskew: bool, scale: float = 1.0):
               "params": {"input_layer": "raw", "scan_period": 0.1,
                          "anchor": "start"}}]
             + p["pointcloud_filter"])
+    if local_map:
+        p["odometry_reference"] = "local_map"
     return cfg
 
 
@@ -64,7 +66,9 @@ def main():
     ap.add_argument("--moving-cars", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the 8-device virtual CPU mesh")
-    ap.add_argument("--configs", default="deskew,no_deskew")
+    ap.add_argument("--configs", default="local_map,deskew,no_deskew",
+                    help="comma list of: local_map (scan-to-map + deskew), "
+                         "deskew, no_deskew (both scan-to-scan)")
     ap.add_argument("--out", default=str(REPO / "docs" / "accuracy.json"))
     args = ap.parse_args()
 
@@ -88,7 +92,9 @@ def main():
 
     results = {}
     for name in args.configs.split(","):
-        cfg = build_cfg(deskew=(name == "deskew"), scale=args.azimuth / 2048)
+        cfg = build_cfg(deskew=(name in ("deskew", "local_map")),
+                        scale=args.azimuth / 2048,
+                        local_map=(name == "local_map"))
         res = run_replay(obs, cfg, gt_poses=gt)
         row = {k: res[k] for k in (
             "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",
