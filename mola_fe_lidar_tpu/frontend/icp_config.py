@@ -94,7 +94,10 @@ def icp_params_from_config(cfg: Dict[str, Any]) -> ICPParams:
         if kind is None:
             raise KeyError(f"unknown solver class {s['class']!r}")
         sp = s.get("params", {}) or {}
-        solver = Solver(kind=kind, max_iterations=int(sp.get("maxIterations", 20)))
+        solver = Solver(
+            kind=kind, max_iterations=int(sp.get("maxIterations", 20)),
+            prior_sigma_trans=float(sp.get("priorSigmaTrans", 0.0)),
+            prior_sigma_rot=float(sp.get("priorSigmaRot", 0.0)))
 
     qualities = []
     for q in cfg.get("quality", []) or []:

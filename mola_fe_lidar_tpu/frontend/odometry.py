@@ -205,6 +205,12 @@ class LidarOdometryParameters:
     # quality thresholdDistance or the paired-ratio KF gate deflates
     local_map_reseed_after: int = 10     # consecutive weak map aligns before
     # dropping the map (next keyframe reseeds it fresh)
+    # Physical speed gate: per-scan translation beyond this * dt is
+    # rejected as a teleport (self-similar-geometry aliasing basins keep
+    # HIGH ICP quality, so only physics can catch them)
+    max_sensor_speed: float = 30.0       # [m/s]
+    max_sensor_rot_rate: float = 2.0     # [rad/s] (90-deg block symmetry
+    # makes rotational aliasing just as real as translational)
 
 
 @dataclass
@@ -346,6 +352,9 @@ class LidarOdometry(FrontEndBase):
             g("local_map_dedup_voxel", p.local_map_dedup_voxel))
         p.local_map_reseed_after = int(
             g("local_map_reseed_after", p.local_map_reseed_after))
+        p.max_sensor_speed = float(g("max_sensor_speed", p.max_sensor_speed))
+        p.max_sensor_rot_rate = float(
+            g("max_sensor_rot_rate", p.max_sensor_rot_rate))
         p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
         self._fused_cache = {}
 
@@ -582,18 +591,50 @@ class LidarOdometry(FrontEndBase):
                         debug_str="icp_latest",
                     ))
 
-                # Scan-to-map resilience: a weak map align (corner
-                # ghosting, stale map after a failure stretch) must not
-                # poison the odometry — retry scan-to-scan and keep the
-                # better result; reseed a persistently failing map.
+                # Resilience gates. Two distinct failure modes observed on
+                # the HDL-64 sim city:
+                #  * weak map align (corner ghosting, stale map) — retry
+                #    scan-to-scan, keep the better result, reseed a
+                #    persistently failing map;
+                #  * UNPHYSICAL rel motion — self-similar geometry (city
+                #    blocks repeat every ~14 m) has genuine wrong basins:
+                #    ICP can teleport a block backward with HIGH quality,
+                #    and the velocity prior then anchors a runaway (-5
+                #    m/scan sustained, measured). Quality cannot catch
+                #    this; a physical speed gate can (the reference's
+                #    analogous gate is correction<20% for nearby aligns,
+                #    reference :809-816). On gate failure hold the motion
+                #    model and report goodness 0.
                 result_is_world = use_map
-                if use_map and icp_out.goodness < self.params.min_icp_goodness:
-                    self._map_fail_streak += 1
-                    prof.register_user_measure("doProcess.map_align_weak", 1)
+                max_step = self.params.max_sensor_speed * max(dt, 1e-3)
+
+                max_rot_step = self.params.max_sensor_rot_rate * max(dt, 1e-3)
+
+                def _rel_norm(out, is_world):
+                    Rp, tp = _np_pose(out.found_pose_to_wrt_from)
+                    if is_world:
+                        tp = st.world_R.T @ (tp - st.world_t)
+                        Rp = st.world_R.T @ Rp
+                    return float(np.linalg.norm(tp)), se3_np.rotation_angle(Rp)
+
+                def _jump(out, is_world):
+                    tn, ra = _rel_norm(out, is_world)
+                    return tn > max_step or ra > max_rot_step
+
+                def _motion_model_output():
+                    pR, pt = (se3_np.exp(st.twist * dt)
+                              if (st.twist_is_good and dt > 0)
+                              else (np.eye(3), np.zeros(3)))
+                    return ICPOutput(
+                        success=False, goodness=0.0,
+                        found_pose_to_wrt_from=_jx_pose(pR, pt),
+                        cov=np.eye(6) * 1e6)
+
+                def _s2s_align():
                     fgR, fgt = (se3_np.exp(st.twist * dt)
                                 if (st.twist_is_good and dt > 0)
                                 else (np.eye(3), np.zeros(3)))
-                    fb = self.run_one_icp(ICPInput(
+                    return self.run_one_icp(ICPInput(
                         align_kind=kind, to_id=-1, from_id=-1,
                         to_pc=this_points, from_pc=last_points,
                         init_guess_to_wrt_from=se3.Pose(
@@ -601,18 +642,48 @@ class LidarOdometry(FrontEndBase):
                             jnp.asarray(fgt, jnp.float32)),
                         debug_str="icp_latest_s2s_fallback",
                     ))
-                    if fb.goodness > icp_out.goodness:
-                        icp_out = fb
-                        result_is_world = False
-                    if self._map_fail_streak > self.params.local_map_reseed_after:
-                        self.log.warning(
-                            "local map failing for %d scans; reseeding at "
-                            "next keyframe", self._map_fail_streak)
-                        self._local_map_builder = None
-                        st.local_map = None
+
+                if use_map:
+                    map_jump = _jump(icp_out, True)
+                    map_bad = (map_jump or
+                               icp_out.goodness < self.params.min_icp_goodness)
+                    if map_bad:
+                        self._map_fail_streak += 1
+                        prof.register_user_measure("doProcess.map_align_weak", 1)
+                        if map_jump:
+                            self.log.warning(
+                                "map align rejected: unphysical step "
+                                "%.1fm/%.2frad (max %.1fm/%.2frad)",
+                                *_rel_norm(icp_out, True), max_step, max_rot_step)
+                        fb = _s2s_align()
+                        fb_jump = _jump(fb, False)
+                        if not fb_jump and (map_jump
+                                            or fb.goodness > icp_out.goodness):
+                            icp_out = fb
+                            result_is_world = False
+                        elif map_jump:
+                            # both unphysical: hold the motion model
+                            prof.register_user_measure(
+                                "doProcess.reject_unphysical", 1)
+                            icp_out = _motion_model_output()
+                            result_is_world = False
+                        if self._map_fail_streak > self.params.local_map_reseed_after:
+                            self.log.warning(
+                                "local map failing for %d scans; reseeding at "
+                                "next keyframe", self._map_fail_streak)
+                            self._local_map_builder = None
+                            st.local_map = None
+                            self._map_fail_streak = 0
+                    else:
                         self._map_fail_streak = 0
-                elif use_map:
-                    self._map_fail_streak = 0
+                elif _jump(icp_out, False):
+                    # scan-to-scan teleport (same aliasing hazard)
+                    prof.register_user_measure("doProcess.reject_unphysical", 1)
+                    self.log.warning(
+                        "odometry align rejected: unphysical step "
+                        "%.1fm/%.2frad (max %.1fm/%.2frad)",
+                        *_rel_norm(icp_out, False), max_step, max_rot_step)
+                    icp_out = _motion_model_output()
             else:
                 prof.enter("doProcess.filter")
                 this_points = self.filter_pipeline(raw_map)

@@ -84,6 +84,12 @@ class Solver:
     kind: str = "gauss_newton"  # or "horn" (closed-form point-to-point)
     max_iterations: int = 20
     damping: float = 1e-6
+    # Weak MAP prior anchoring the solve to the initial guess (0 = off).
+    # Pins near-degenerate directions (corridor along-track slide) to the
+    # motion model; data dominates everywhere else. GN only — the
+    # closed-form horn/olae solvers ignore it.
+    prior_sigma_trans: float = 0.0  # [m]
+    prior_sigma_rot: float = 0.0    # [rad]
 
 
 @dataclass(frozen=True)

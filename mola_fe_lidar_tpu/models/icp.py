@@ -315,12 +315,20 @@ def _gather(pose, it, src_map, tgt_map, params: ICPParams, aux=None):
     return plane, p2p_rows
 
 
-def _solve(pose, plane: _Pairings, p2p_rows, params: ICPParams):
+def _solve(pose, plane: _Pairings, p2p_rows, params: ICPParams,
+           init_pose: se3.Pose = None):
     s = params.solver
     if s.kind == "gauss_newton":
+        prior_pose, prior_w = None, None
+        if s.prior_sigma_trans > 0 and s.prior_sigma_rot > 0 and init_pose is not None:
+            prior_pose = init_pose
+            prior_w = jnp.asarray(
+                [1.0 / s.prior_sigma_trans**2] * 3
+                + [1.0 / s.prior_sigma_rot**2] * 3, jnp.float32)
         res = gauss_newton.point_to_plane_step(
             pose, plane.p, plane.q, plane.n, plane.w,
             inner_iterations=s.max_iterations, damping=s.damping,
+            prior_pose=prior_pose, prior_w=prior_w,
         )
         return res.pose
     if s.kind in ("horn", "olae"):
@@ -380,7 +388,7 @@ def align(
     def body(state):
         pose, it, done = state
         plane, p2p_rows = _gather(pose, it, src_map, tgt_map, params, aux)
-        new_pose = _solve(pose, plane, p2p_rows, params)
+        new_pose = _solve(pose, plane, p2p_rows, params, init_pose)
         # Too few effective pairings → the system is unconstrained; stall at
         # the current pose (terminates via zero step) instead of trusting a
         # degenerate solve.

@@ -178,6 +178,7 @@ def run_replay(observations, cfg: Optional[dict] = None,
             rpe_t, rpe_r = rpe_rmse(est_sel, gt_sel)
             result["rpe_trans_scan"] = rpe_t
             result["rpe_rot_scan"] = rpe_r
+        result["scan_poses"] = scan_traj
     return result
 
 

@@ -62,15 +62,35 @@ def point_to_plane_step(
     w: jax.Array,
     inner_iterations: int = 20,
     damping: float = 1e-6,
+    prior_pose: se3.Pose | None = None,
+    prior_w: jax.Array | None = None,
 ) -> GNResult:
     """Run the GN inner loop at fixed correspondences.
 
     src_pts [...,N,3] source points (untransformed), tgt_pts/normals their
     matched target points/unit normals, w per-pairing weights (0 = drop).
+
+    ``prior_pose``/``prior_w`` add a weak MAP prior anchoring the solution
+    to the initial guess: with the left-multiplied update new = exp(δ)∘p
+    and prior error e = log(prior ∘ p⁻¹), the extra cost wᵖ‖δ − e‖²
+    contributes A += diag(wᵖ), b += wᵖ·e. In degenerate geometry (a
+    corridor of parallel planes leaves the along-corridor direction with
+    ~zero data curvature AND ~zero gradient, so noise drives unbounded
+    slide — measured 11 m/scan teleports on the HDL-64 sim city blocks)
+    the prior term dominates exactly those null directions and pins them
+    to the motion-model guess, while well-constrained directions
+    (data eigenvalues ≫ wᵖ) are unaffected. This is the standard
+    degeneracy treatment in production LiDAR odometry (cf. Zhang & Singh,
+    "On Degeneracy of Optimization-based State Estimation", ICRA 2016 —
+    solution remapping; a weak Tikhonov prior is the smooth variant).
     """
 
     def body(_, p):
         A, b, _ = _build_system(p, src_pts, tgt_pts, normals, w)
+        if prior_pose is not None:
+            e = se3.log(se3.compose(prior_pose, se3.inverse(p)))
+            A = A + jnp.diag(prior_w).astype(A.dtype)
+            b = b + prior_w * e
         delta = solve_normal_equations(A, b, damping)
         return se3.compose(se3.exp(delta), p)
 

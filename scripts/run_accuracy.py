@@ -68,8 +68,11 @@ def main():
                     help="force the 8-device virtual CPU mesh")
     ap.add_argument("--configs", default="local_map,deskew,no_deskew",
                     help="comma list of: local_map (scan-to-map + deskew), "
-                         "deskew, no_deskew (both scan-to-scan)")
+                         "local_map_nodeskew, deskew, no_deskew (both "
+                         "scan-to-scan)")
     ap.add_argument("--out", default=str(REPO / "docs" / "accuracy.json"))
+    ap.add_argument("--dump-traj", default="",
+                    help="directory for per-config est/gt trajectory npz")
     args = ap.parse_args()
 
     if args.cpu:
@@ -94,7 +97,7 @@ def main():
     for name in args.configs.split(","):
         cfg = build_cfg(deskew=(name in ("deskew", "local_map")),
                         scale=args.azimuth / 2048,
-                        local_map=(name == "local_map"))
+                        local_map=name.startswith("local_map"))
         res = run_replay(obs, cfg, gt_poses=gt)
         row = {k: res[k] for k in (
             "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",
@@ -110,6 +113,17 @@ def main():
                 100.0 * row["ate_rmse_scan"] / length, 4)
         mod = res["module"]
         row["profile"] = mod.profiler.stats()
+        if args.dump_traj:
+            d = Path(args.dump_traj)
+            d.mkdir(parents=True, exist_ok=True)
+            sp = res.get("scan_poses", [])
+            if sp:
+                np.savez(d / f"{name}.npz",
+                         t=np.array([x[0] for x in sp]),
+                         est_t=np.stack([x[1][1] for x in sp]),
+                         est_R=np.stack([x[1][0] for x in sp]),
+                         gt_t=np.stack([p for _, p in gt]),
+                         gt_R=np.stack([R for R, _ in gt]))
         results[name] = row
         print(json.dumps({k: v for k, v in row.items() if k != "profile"},
                          default=float))

@@ -107,3 +107,63 @@ class TestLocalMapOdometry:
         Rw, tw = Rw @ st.accum_since_last_kf_R, Rw @ st.accum_since_last_kf_t + tw
         np.testing.assert_allclose(tw, st.world_t, atol=1e-5)
         m.shutdown()
+
+
+class TestDegeneratePrior:
+    """Weak MAP prior pins degenerate directions to the initial guess.
+
+    A corridor (ground + two parallel walls along x) leaves x-translation
+    unobservable: without a prior, noise can slide the solution along the
+    corridor by many meters while quality stays high (measured 11 m/scan
+    teleports on the HDL-64 sim city). With the prior, x sticks to the
+    guess while the observable directions are still solved from data.
+    """
+
+    def _corridor(self, rng, n=3072):
+        g = np.stack([rng.uniform(-30, 30, n // 2),
+                      rng.uniform(-4, 4, n // 2),
+                      rng.normal(0, 0.02, n // 2)], -1)
+        w1 = np.stack([rng.uniform(-30, 30, n // 4),
+                       np.full(n // 4, 4.0) + rng.normal(0, 0.02, n // 4),
+                       rng.uniform(0, 5, n // 4)], -1)
+        w2 = np.stack([rng.uniform(-30, 30, n // 4),
+                       np.full(n // 4, -4.0) + rng.normal(0, 0.02, n // 4),
+                       rng.uniform(0, 5, n // 4)], -1)
+        return np.concatenate([g, w1, w2]).astype(np.float32)
+
+    def test_prior_pins_corridor_axis(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.geometry import se3
+        from mola_fe_lidar_tpu.models import (
+            ICPParams, Matcher, PairWeights, Quality, Solver)
+        from mola_fe_lidar_tpu.models.icp import align
+
+        rng = np.random.default_rng(5)
+        # independent samplings of the SAME corridor surfaces: a real
+        # observable offset in (y, z, yaw) plus nothing observable in x
+        tgt_pts = self._corridor(rng)
+        src_pts = self._corridor(rng)
+        true = se3.exp(jnp.asarray(
+            np.array([0.0, 0.25, 0.1, 0, 0, 0.02], np.float32)))
+        src_pts = np.asarray(se3.transform(se3.inverse(true), jnp.asarray(src_pts)))
+        src = {"raw": from_points(src_pts, capacity=3072)}
+        tgt = {"raw": from_points(tgt_pts, capacity=3072)}
+        base = ICPParams(
+            max_iterations=40,
+            matchers=(Matcher(kind="point2plane_knn", distance_threshold=1.0,
+                              knn=6, plane_eigen_threshold=0.2),),
+            solver=Solver(kind="gauss_newton", max_iterations=10,
+                          prior_sigma_trans=1.0, prior_sigma_rot=0.25),
+            quality=(Quality(threshold_distance=0.3),),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        res = align(src, tgt, se3.identity(), base)
+        t = np.asarray(res.pose.t)
+        tau = np.asarray(se3.log(res.pose))
+        # observable axes recovered from data
+        assert abs(t[1] - 0.25) < 0.05, t
+        assert abs(t[2] - 0.1) < 0.05, t
+        assert abs(tau[5] - 0.02) < 0.01, tau
+        # unobservable corridor axis pinned to the guess, no slide
+        assert abs(t[0]) < 0.25, t
