@@ -19,6 +19,7 @@ target cloud for the same fused align program.
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from typing import Deque, Dict, Optional, Tuple
 
@@ -41,7 +42,7 @@ def _voxel_first(xyz: np.ndarray, res: float) -> np.ndarray:
 class LocalMap:
     """Aggregate the last ``window`` keyframes' layers in the world frame."""
 
-    def __init__(self, window: int = 10, capacity_mult: int = 4,
+    def __init__(self, window: int = 10, capacity_mult=4,
                  dedup_voxel: float = 0.25, keep_layers=None):
         # dedup_voxel must stay BELOW the quality evaluator's
         # thresholdDistance (0.30 m in the KITTI preset): a coarser pitch
@@ -50,7 +51,10 @@ class LocalMap:
         # keyframe creation (measured: 0.376 @ 0.5 m vs 0.429 @ 0.25 m on
         # an identical aligned pair).
         self.window = int(window)
-        self.capacity_mult = int(capacity_mult)
+        # int (uniform) or {layer: mult} — layers only used as a quality
+        # reference don't need the full map density, and every extra point
+        # in a target layer is O(N_src) more NN work per ICP iteration
+        self.capacity_mult = capacity_mult
         self.dedup_voxel = float(dedup_voxel)
         # only layers some matcher/quality stage targets — carrying the
         # raw ingest layer (131k caps) through the map would waste HBM and
@@ -59,13 +63,18 @@ class LocalMap:
         self._kfs: Deque[Tuple[Dict, Tuple[np.ndarray, np.ndarray]]] = deque(
             maxlen=self.window)
         self._caps: Dict[str, int] = {}
+        # adds happen on the pipeline thread; builds may snapshot from a
+        # background thread (async rebuild) — guard the deque
+        self._lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._kfs)
 
     def entries(self):
-        """(layers, (R, t)) pairs — for checkpointing."""
-        return list(self._kfs)
+        """(layers, (R, t)) pairs snapshot — for checkpointing/async builds.
+        Entry tuples are immutable; the list copy is race-free."""
+        with self._lock:
+            return list(self._kfs)
 
     def add_keyframe(self, mm: MetricMap,
                      world_pose: Tuple[np.ndarray, np.ndarray]) -> None:
@@ -81,24 +90,30 @@ class LocalMap:
             attrs = {k: np.asarray(v)[m] for k, v in pc.attrs.items()}
             layers[name] = (xyz, attrs)
             if name not in self._caps:
-                self._caps[name] = _round_up(
-                    pc.capacity * self.capacity_mult)
-        self._kfs.append((layers, (R, t)))
+                mult = (self.capacity_mult.get(name, 1)
+                        if isinstance(self.capacity_mult, dict)
+                        else self.capacity_mult)
+                self._caps[name] = _round_up(int(pc.capacity * mult))
+        with self._lock:
+            self._kfs.append((layers, (R, t)))
 
-    def build(self) -> MetricMap:
+    def build(self, entries=None) -> MetricMap:
         """Aggregated fixed-capacity map in the world frame.
 
         Per layer: transform every kept keyframe into world (normals
         rotate), voxel-first dedup (never a scan-order slab), then — only
-        if still over capacity — a hash-uniform subsample.
+        if still over capacity — a hash-uniform subsample. Pass a
+        snapshot from :meth:`entries` to build off-thread.
         """
-        if not self._kfs:
+        if entries is None:
+            entries = self.entries()
+        if not entries:
             raise RuntimeError("LocalMap: no keyframes added")
-        names = list(self._kfs[-1][0].keys())
+        names = list(entries[-1][0].keys())
         out: MetricMap = {}
         for name in names:
             xs, attr_lists = [], []
-            for layers, (R, t) in self._kfs:
+            for layers, (R, t) in entries:
                 if name not in layers:
                     continue
                 xyz, attrs = layers[name]

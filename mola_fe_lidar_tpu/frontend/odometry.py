@@ -205,6 +205,16 @@ class LidarOdometryParameters:
     # quality thresholdDistance or the paired-ratio KF gate deflates
     local_map_reseed_after: int = 10     # consecutive weak map aligns before
     # dropping the map (next keyframe reseeds it fresh)
+    # Scan-to-map convergence floor. The reference's minAbsStep (5e-5 m /
+    # 1e-5 rad) sits BELOW the per-iteration re-match jitter against a
+    # dense aggregated map, so map aligns never register as converged and
+    # burn the full maxIterations budget (measured: 100/100 iterations,
+    # ~8 ms each at KITTI map shapes -> ~0.85 s/scan). 1 mm / 0.2 mrad is
+    # still ~20x below the ~2 cm sensor noise floor. Applied as a floor
+    # (max with the stage's configured step) to map-align stages only;
+    # scan-to-scan keeps the reference values untouched.
+    local_map_min_abs_step_trans: float = 1e-3   # [m]
+    local_map_min_abs_step_rot: float = 2e-4     # [rad]
     # Physical speed gate: per-scan translation beyond this * dt is
     # rejected as a teleport (self-similar-geometry aliasing basins keep
     # HIGH ICP quality, so only physics can catch them)
@@ -297,6 +307,9 @@ class LidarOdometry(FrontEndBase):
         self._fused_ok: Dict[AlignKind, bool] = {k: True for k in AlignKind}
         self._local_map_builder = None  # created on first KF in local_map mode
         self._map_fail_streak = 0       # consecutive weak scan-to-map aligns
+        self._map_build_lock = threading.Lock()
+        self._map_build_inflight = False
+        self._map_build_dirty = False
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -352,6 +365,10 @@ class LidarOdometry(FrontEndBase):
             g("local_map_dedup_voxel", p.local_map_dedup_voxel))
         p.local_map_reseed_after = int(
             g("local_map_reseed_after", p.local_map_reseed_after))
+        p.local_map_min_abs_step_trans = float(
+            g("local_map_min_abs_step_trans", p.local_map_min_abs_step_trans))
+        p.local_map_min_abs_step_rot = float(
+            g("local_map_min_abs_step_rot", p.local_map_min_abs_step_rot))
         p.max_sensor_speed = float(g("max_sensor_speed", p.max_sensor_speed))
         p.max_sensor_rot_rate = float(
             g("max_sensor_rot_rate", p.max_sensor_rot_rate))
@@ -548,7 +565,7 @@ class LidarOdometry(FrontEndBase):
                     # ONE dispatch + ONE readback (see _get_fused_step)
                     try:
                         prof.enter("doProcess.fused_step")
-                        mm, flat = self._get_fused_step(kind)(
+                        mm, flat = self._get_fused_step(kind, use_map)(
                             raw_map, icp_target, guess_R, guess_t,
                             jnp.asarray(deskew_twist, jnp.float32))
                         flat = np.asarray(flat)  # the single readback
@@ -589,7 +606,7 @@ class LidarOdometry(FrontEndBase):
                         to_pc=this_points, from_pc=icp_target,
                         init_guess_to_wrt_from=se3.Pose(guess_R, guess_t),
                         debug_str="icp_latest",
-                    ))
+                    ), stages=self._stages_for(kind, use_map))
 
                 # Resilience gates. Two distinct failure modes observed on
                 # the HDL-64 sim city:
@@ -737,6 +754,8 @@ class LidarOdometry(FrontEndBase):
                     or rot > self.params.min_rotation_between_keyframes
                 )
                 prof.register_user_measure("icp_latest.goodness", icp_out.goodness)
+                prof.register_user_measure("icp_latest.n_iter",
+                                           icp_out.n_iterations)
 
             if create_keyframe:
                 self._create_keyframe(tim, this_points)
@@ -759,6 +778,42 @@ class LidarOdometry(FrontEndBase):
         finally:
             prof.leave("doProcessNewObservation")
 
+    def _schedule_map_build(self) -> None:
+        """Rebuild the local-map aggregate off the pipeline thread.
+
+        One build in flight at a time; a keyframe arriving mid-build marks
+        the result dirty and triggers one follow-up build with a fresh
+        snapshot. The swap is a single reference assignment; a build whose
+        builder was reseeded/reset meanwhile is discarded.
+        """
+        with self._map_build_lock:
+            if self._map_build_inflight:
+                self._map_build_dirty = True
+                return
+            self._map_build_inflight = True
+        self._nearby_pool.submit(self._map_build_worker,
+                                 self._local_map_builder)
+
+    def _map_build_worker(self, builder) -> None:
+        prof = self.profiler
+        while True:
+            try:
+                prof.enter("doProcess.local_map_build_async")
+                mm = builder.build(builder.entries())
+                prof.leave("doProcess.local_map_build_async")
+                if self._local_map_builder is builder:
+                    self.state.local_map = mm  # atomic ref swap
+            except Exception:
+                prof.leave("doProcess.local_map_build_async")
+                self.log.warning("async local-map build failed",
+                                 exc_info=True)
+            with self._map_build_lock:
+                if self._map_build_dirty and self._local_map_builder is builder:
+                    self._map_build_dirty = False
+                    continue  # one more pass with a fresh snapshot
+                self._map_build_inflight = False
+                return
+
     def _update_deskew_twist(self, dt: float) -> None:
         """Damped deskew twist: EMA over VALIDATED raw estimates plus a
         physical acceleration clamp (see LidarOdometryParameters docs for
@@ -779,12 +834,27 @@ class LidarOdometry(FrontEndBase):
         else:
             st.twist_smooth_age += 1
 
-    def _get_fused_step(self, kind: AlignKind):
+    def _stages_for(self, kind: AlignKind, for_map: bool):
+        """Stage params for an align; map targets get the convergence
+        floor (see ``local_map_min_abs_step_trans`` parameter docs)."""
+        stages = self.icp_cases[kind]
+        if not for_map:
+            return stages
+        p = self.params
+        return tuple(dataclasses.replace(
+            s,
+            min_abs_step_trans=max(s.min_abs_step_trans,
+                                   p.local_map_min_abs_step_trans),
+            min_abs_step_rot=max(s.min_abs_step_rot,
+                                 p.local_map_min_abs_step_rot))
+            for s in stages)
+
+    def _get_fused_step(self, kind: AlignKind, for_map: bool = False):
         """One jitted program per (filters, params): filter pipeline + ICP +
         sanity reduction + result packing — ONE device dispatch and ONE
         readback per scan. Cached globally by configuration so fresh module
         instances never recompile."""
-        stages = self.icp_cases[kind]
+        stages = self._stages_for(kind, for_map)
         key = (_filters_cache_key(self.filter_pipeline.filters), stages)
         if key in _FUSED_STEP_CACHE:
             return _FUSED_STEP_CACHE[key]
@@ -888,28 +958,41 @@ class LidarOdometry(FrontEndBase):
         st.last_kf = kf_id
 
         if self.params.odometry_reference == "local_map":
-            # fold this keyframe into the rolling map target (host-side,
-            # once per ~KF-spacing meters; the per-scan path stays on device)
-            prof.enter("doProcess.local_map_build")
+            # fold this keyframe into the rolling map target. The ADD is a
+            # cheap host copy; the aggregate REBUILD (~0.5 s of np.unique
+            # at full scale) runs on the nearby pool and atomically swaps
+            # st.local_map when done — scanning continues against the
+            # previous map (at most one keyframe stale, window >= 10).
             if self._local_map_builder is None:
                 from .local_map import LocalMap
-                # only layers the odometry ICP stages actually target
-                keep = set()
+                # matcher target layers get the full map density; layers
+                # used ONLY as a quality reference stay at scan density
+                # (every target point is O(N_src) NN work per iteration)
+                matcher_layers, quality_layers = set(), set()
                 for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
                     for stage in self.icp_cases.get(kind, ()):
                         for mt in stage.matchers:
-                            keep.add(mt.tgt_layer)
+                            matcher_layers.add(mt.tgt_layer)
                         for q in stage.quality:
-                            keep.add(q.tgt_layer)
+                            quality_layers.add(q.tgt_layer)
+                mult = {name: self.params.local_map_capacity_mult
+                        for name in matcher_layers}
+                for name in quality_layers - matcher_layers:
+                    mult[name] = 1
                 self._local_map_builder = LocalMap(
                     window=self.params.local_map_keyframes,
-                    capacity_mult=self.params.local_map_capacity_mult,
+                    capacity_mult=mult,
                     dedup_voxel=self.params.local_map_dedup_voxel,
-                    keep_layers=keep or None)
+                    keep_layers=(matcher_layers | quality_layers) or None)
             self._local_map_builder.add_keyframe(
                 points, (st.world_R, st.world_t))
-            st.local_map = self._local_map_builder.build()
-            prof.leave("doProcess.local_map_build")
+            if st.local_map is None:
+                # first map must exist before the next scan: build inline
+                prof.enter("doProcess.local_map_build")
+                st.local_map = self._local_map_builder.build()
+                prof.leave("doProcess.local_map_build")
+            else:
+                self._schedule_map_build()
 
     # ------------------------------------------------------------------
     # nearby-KF / loop-closure search (reference checkForNearbyKFs :516-744)
@@ -1149,8 +1232,9 @@ class LidarOdometry(FrontEndBase):
     # ------------------------------------------------------------------
     # the compute seam (reference run_one_icp :851-895)
     # ------------------------------------------------------------------
-    def run_one_icp(self, inp: ICPInput) -> ICPOutput:
-        stages = self.icp_cases[inp.align_kind]
+    def run_one_icp(self, inp: ICPInput, stages=None) -> ICPOutput:
+        if stages is None:
+            stages = self.icp_cases[inp.align_kind]
         prof = self.profiler
         prof.enter(f"run_one_icp.{inp.debug_str or inp.align_kind.value}")
         try:

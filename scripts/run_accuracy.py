@@ -29,7 +29,8 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
-def build_cfg(deskew: bool, scale: float = 1.0, local_map: bool = False):
+def build_cfg(deskew: bool, scale: float = 1.0, local_map: bool = False,
+              overrides=()):
     from mola_fe_lidar_tpu.utils.config import load_yaml
 
     cfg = load_yaml(str(REPO / "mola_fe_lidar_tpu/params/kitti-default.yaml"))
@@ -56,6 +57,17 @@ def build_cfg(deskew: bool, scale: float = 1.0, local_map: bool = False):
             + p["pointcloud_filter"])
     if local_map:
         p["odometry_reference"] = "local_map"
+    for kv in overrides:
+        key, _, val = kv.partition("=")
+        try:
+            parsed = json.loads(val)
+        except json.JSONDecodeError:
+            parsed = val
+        parts = key.split(".")
+        node = p
+        for part in parts[:-1]:
+            node = node[part]
+        node[parts[-1]] = parsed
     return cfg
 
 
@@ -70,6 +82,9 @@ def main():
                     help="comma list of: local_map (scan-to-map + deskew), "
                          "local_map_nodeskew, deskew, no_deskew (both "
                          "scan-to-scan)")
+    ap.add_argument("--override", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="set a module param in every config (JSON value)")
     ap.add_argument("--out", default=str(REPO / "docs" / "accuracy.json"))
     ap.add_argument("--dump-traj", default="",
                     help="directory for per-config est/gt trajectory npz")
@@ -97,7 +112,8 @@ def main():
     for name in args.configs.split(","):
         cfg = build_cfg(deskew=(name in ("deskew", "local_map")),
                         scale=args.azimuth / 2048,
-                        local_map=name.startswith("local_map"))
+                        local_map=name.startswith("local_map"),
+                        overrides=args.override)
         res = run_replay(obs, cfg, gt_poses=gt)
         row = {k: res[k] for k in (
             "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",

@@ -74,6 +74,67 @@ class TestLocalMap:
         assert (kept.max(0) - kept.min(0) > 60).all()
 
 
+class TestSnapshotBuild:
+    def test_build_from_entries_snapshot_matches_inline(self):
+        """build(entries) off a snapshot == build() off live state, and the
+        snapshot is isolated from later add_keyframe (async rebuild)."""
+        rng = np.random.default_rng(1)
+        lm = LocalMap(window=4, capacity_mult=2, dedup_voxel=0.1)
+        I = (np.eye(3), np.zeros(3))
+        for _ in range(3):
+            pts = rng.uniform(-10, 10, (100, 3)).astype(np.float32)
+            lm.add_keyframe({"decimated": _cloud(pts, capacity=256)}, I)
+        snap = lm.entries()
+        ref = lm.build()
+        lm.add_keyframe(
+            {"decimated": _cloud(rng.uniform(-10, 10, (50, 3)).astype(
+                np.float32), capacity=256)}, I)
+        got = lm.build(snap)  # snapshot unaffected by the new keyframe
+        np.testing.assert_array_equal(np.asarray(ref["decimated"].xyz),
+                                      np.asarray(got["decimated"].xyz))
+        np.testing.assert_array_equal(np.asarray(ref["decimated"].mask),
+                                      np.asarray(got["decimated"].mask))
+
+    def test_per_layer_capacity_mult(self):
+        lm = LocalMap(window=2, capacity_mult={"planes": 4},
+                      dedup_voxel=0.01)
+        a = np.array([[0, 0, 0]], np.float32)
+        lm.add_keyframe({"planes": _cloud(a, capacity=256),
+                         "decimated": _cloud(a, capacity=256)},
+                        (np.eye(3), np.zeros(3)))
+        mp = lm.build()
+        assert mp["planes"].capacity == 1024
+        assert mp["decimated"].capacity == 256  # default mult 1
+
+
+class TestMapStageFloor:
+    def test_stages_for_raises_thresholds_only_for_map(self):
+        """Map-align stages get the convergence floor; scan-to-scan keeps
+        the reference minAbsStep values untouched."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {
+            "odometry_reference": "local_map",
+            "local_map_min_abs_step_trans": 2e-3,
+            "local_map_min_abs_step_rot": 4e-4,
+        }})
+        kind = AlignKind.LIDAR_ODOMETRY
+        plain = m._stages_for(kind, for_map=False)
+        assert plain == m.icp_cases[kind]
+        raised = m._stages_for(kind, for_map=True)
+        for s0, s1 in zip(plain, raised):
+            assert s1.min_abs_step_trans == max(s0.min_abs_step_trans, 2e-3)
+            assert s1.min_abs_step_rot == max(s0.min_abs_step_rot, 4e-4)
+            # only the convergence knobs differ
+            import dataclasses
+            assert dataclasses.replace(
+                s1, min_abs_step_trans=s0.min_abs_step_trans,
+                min_abs_step_rot=s0.min_abs_step_rot) == s0
+        m.shutdown()
+
+
 class TestLocalMapOdometry:
     def test_local_map_mode_tracks_synthetic_run(self):
         """Full front-end in local_map mode on a synthetic sequence: map

@@ -95,7 +95,7 @@ class TestFusedFallbackPerKind:
         m = build_module(odom_test_cfg())
         real_get = m._get_fused_step
 
-        def failing_get(kind):
+        def failing_get(kind, for_map=False):
             def f(*a, **k):
                 raise jax.errors.JaxRuntimeError("synthetic compile failure")
             return f
@@ -118,7 +118,7 @@ class TestFusedFallbackPerKind:
                                     rate_hz=2.0, world=world)
         m = build_module(odom_test_cfg())
 
-        def broken_get(kind):
+        def broken_get(kind, for_map=False):
             def f(*a, **k):
                 raise KeyError("missing layer: config typo")
             return f
