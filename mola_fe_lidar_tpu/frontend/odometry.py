@@ -205,16 +205,30 @@ class LidarOdometryParameters:
     # quality thresholdDistance or the paired-ratio KF gate deflates
     local_map_reseed_after: int = 10     # consecutive weak map aligns before
     # dropping the map (next keyframe reseeds it fresh)
-    # Scan-to-map convergence floor. The reference's minAbsStep (5e-5 m /
-    # 1e-5 rad) sits BELOW the per-iteration re-match jitter against a
-    # dense aggregated map, so map aligns never register as converged and
-    # burn the full maxIterations budget (measured: 100/100 iterations,
-    # ~8 ms each at KITTI map shapes -> ~0.85 s/scan). 1 mm / 0.2 mrad is
-    # still ~20x below the ~2 cm sensor noise floor. Applied as a floor
-    # (max with the stage's configured step) to map-align stages only;
-    # scan-to-scan keeps the reference values untouched.
-    local_map_min_abs_step_trans: float = 1e-3   # [m]
-    local_map_min_abs_step_rot: float = 2e-4     # [rad]
+    # Scan-to-map convergence floor, applied as max() with the stage's
+    # configured minAbsStep on map-align stages only. Defaults KEEP the
+    # reference values (a no-op): the 500-scan HDL-64 ablation showed map
+    # aligns descend in sub-mm steps for ~90 of 100 iterations (the wide
+    # 1.5 m matcher threshold against a dense map keeps recruiting
+    # better planes each re-match), and early-stopping that crawl with a
+    # 1 mm floor cost +0.39 m ATE (1.12 -> 1.51). Raise only together
+    # with local_map_max_match_distance, which removes the crawl itself.
+    local_map_min_abs_step_trans: float = 5e-5   # [m]
+    local_map_min_abs_step_rot: float = 1e-5     # [rad]
+    # Rebuild the map aggregate off-thread (pipeline keeps scanning
+    # against a map at most one keyframe stale). Default False: the
+    # newest keyframe covers exactly the territory the next scans enter,
+    # and aligning them against a map missing it cost +0.65 m ATE
+    # (1.12 -> 1.77) in the ablation — while the builds it moves off the
+    # pipeline thread are only ~6% of scan latency.
+    local_map_async_build: bool = False
+    # Cap matcher distance thresholds for map-align stages (0 = keep the
+    # stage values). Scan-to-scan thresholds (1.5 m p2plane) are sized
+    # for consecutive-scan displacement; against a dense aggregated map
+    # with a world-pose prior the residuals are ~cm and a wide threshold
+    # recruits many equally-near candidate planes, so correspondences
+    # flap and the align crawls instead of converging.
+    local_map_max_match_distance: float = 0.0
     # Physical speed gate: per-scan translation beyond this * dt is
     # rejected as a teleport (self-similar-geometry aliasing basins keep
     # HIGH ICP quality, so only physics can catch them)
@@ -369,6 +383,10 @@ class LidarOdometry(FrontEndBase):
             g("local_map_min_abs_step_trans", p.local_map_min_abs_step_trans))
         p.local_map_min_abs_step_rot = float(
             g("local_map_min_abs_step_rot", p.local_map_min_abs_step_rot))
+        p.local_map_async_build = bool(
+            g("local_map_async_build", p.local_map_async_build))
+        p.local_map_max_match_distance = float(
+            g("local_map_max_match_distance", p.local_map_max_match_distance))
         p.max_sensor_speed = float(g("max_sensor_speed", p.max_sensor_speed))
         p.max_sensor_rot_rate = float(
             g("max_sensor_rot_rate", p.max_sensor_rot_rate))
@@ -841,13 +859,22 @@ class LidarOdometry(FrontEndBase):
         if not for_map:
             return stages
         p = self.params
-        return tuple(dataclasses.replace(
-            s,
-            min_abs_step_trans=max(s.min_abs_step_trans,
-                                   p.local_map_min_abs_step_trans),
-            min_abs_step_rot=max(s.min_abs_step_rot,
-                                 p.local_map_min_abs_step_rot))
-            for s in stages)
+        out = []
+        for s in stages:
+            matchers = s.matchers
+            if p.local_map_max_match_distance > 0:
+                matchers = tuple(dataclasses.replace(
+                    m, distance_threshold=min(
+                        m.distance_threshold, p.local_map_max_match_distance))
+                    for m in matchers)
+            out.append(dataclasses.replace(
+                s,
+                matchers=matchers,
+                min_abs_step_trans=max(s.min_abs_step_trans,
+                                       p.local_map_min_abs_step_trans),
+                min_abs_step_rot=max(s.min_abs_step_rot,
+                                     p.local_map_min_abs_step_rot)))
+        return tuple(out)
 
     def _get_fused_step(self, kind: AlignKind, for_map: bool = False):
         """One jitted program per (filters, params): filter pipeline + ICP +
@@ -965,28 +992,29 @@ class LidarOdometry(FrontEndBase):
             # previous map (at most one keyframe stale, window >= 10).
             if self._local_map_builder is None:
                 from .local_map import LocalMap
-                # matcher target layers get the full map density; layers
-                # used ONLY as a quality reference stay at scan density
-                # (every target point is O(N_src) NN work per iteration)
-                matcher_layers, quality_layers = set(), set()
+                # every targeted layer gets the full map density — matcher
+                # targets because sparse targets misregister, and quality
+                # targets because the paired-ratio scale depends on target
+                # density: squeezing the quality layer to scan density
+                # deflated goodness 0.82 -> 0.63 and misfired the weak-
+                # align gate on 133/500 scans (measured). Quality costs
+                # ONE NN pass per align (models/icp.py evaluates it once,
+                # post-loop), so density there is nearly free.
+                keep = set()
                 for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
                     for stage in self.icp_cases.get(kind, ()):
                         for mt in stage.matchers:
-                            matcher_layers.add(mt.tgt_layer)
+                            keep.add(mt.tgt_layer)
                         for q in stage.quality:
-                            quality_layers.add(q.tgt_layer)
-                mult = {name: self.params.local_map_capacity_mult
-                        for name in matcher_layers}
-                for name in quality_layers - matcher_layers:
-                    mult[name] = 1
+                            keep.add(q.tgt_layer)
                 self._local_map_builder = LocalMap(
                     window=self.params.local_map_keyframes,
-                    capacity_mult=mult,
+                    capacity_mult=self.params.local_map_capacity_mult,
                     dedup_voxel=self.params.local_map_dedup_voxel,
-                    keep_layers=(matcher_layers | quality_layers) or None)
+                    keep_layers=keep or None)
             self._local_map_builder.add_keyframe(
                 points, (st.world_R, st.world_t))
-            if st.local_map is None:
+            if st.local_map is None or not self.params.local_map_async_build:
                 # first map must exist before the next scan: build inline
                 prof.enter("doProcess.local_map_build")
                 st.local_map = self._local_map_builder.build()

@@ -110,6 +110,7 @@ def run_localize(args):
         err = float(se3.translation_norm(se3.compose(res.pose, se3.inverse(true))))
         rows.append({"scan": i, "latency_ms": round(ms, 2),
                      "quality": round(float(res.quality), 4),
+                     "n_iter": int(res.n_iterations),
                      "trans_err_m": round(err, 4)})
         print(json.dumps(rows[-1]), file=sys.stderr)
 

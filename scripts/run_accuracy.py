@@ -82,6 +82,8 @@ def main():
                     help="comma list of: local_map (scan-to-map + deskew), "
                          "local_map_nodeskew, deskew, no_deskew (both "
                          "scan-to-scan)")
+    ap.add_argument("--sim-cache", action="store_true",
+                    help="cache the simulated sequence in /tmp (ablations)")
     ap.add_argument("--override", action="append", default=[],
                     metavar="KEY=VALUE",
                     help="set a module param in every config (JSON value)")
@@ -102,8 +104,20 @@ def main():
     device = jax.default_backend()
 
     t0 = time.perf_counter()
-    obs, gt = hdl64_sequence(n_scans=args.scans, n_azimuth=args.azimuth,
-                             moving_cars=args.moving_cars)
+    cache = (Path("/tmp") / f"hdl64_{args.scans}_{args.azimuth}_"
+             f"{args.moving_cars}.pkl" if args.sim_cache else None)
+    if cache is not None and cache.exists():
+        import pickle
+        with open(cache, "rb") as fh:
+            obs, gt = pickle.load(fh)
+        print(f"loaded cached sim {cache}", file=sys.stderr)
+    else:
+        obs, gt = hdl64_sequence(n_scans=args.scans, n_azimuth=args.azimuth,
+                                 moving_cars=args.moving_cars)
+        if cache is not None:
+            import pickle
+            with open(cache, "wb") as fh:
+                pickle.dump((obs, gt), fh, protocol=4)
     sim_s = time.perf_counter() - t0
     print(f"simulated {args.scans} scans ({args.azimuth * 64} rays each) "
           f"in {sim_s:.0f}s", file=sys.stderr)
@@ -150,6 +164,19 @@ def main():
            "moving_cars": args.moving_cars,
            "operating_point": "kitti-default.yaml (voxel 1.0 m, KF 3 m)",
            "results": results}
+    # merge: a partial rerun (--configs local_map) keeps the other
+    # configs' recorded rows as long as the operating point matches
+    prev_path = Path(args.out)
+    if prev_path.exists():
+        try:
+            prev = json.loads(prev_path.read_text())
+            if all(prev.get(k) == out[k] for k in
+                   ("device", "scans", "azimuth", "moving_cars")):
+                merged = dict(prev.get("results", {}))
+                merged.update(results)
+                out["results"] = merged
+        except (json.JSONDecodeError, KeyError):
+            pass
     Path(args.out).parent.mkdir(exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1, default=float))
     print(json.dumps({"wrote": args.out}))

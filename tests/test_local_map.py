@@ -108,6 +108,36 @@ class TestSnapshotBuild:
 
 
 class TestMapStageFloor:
+    def test_default_is_noop(self):
+        """Default floor values equal the reference minAbsStep and the
+        distance cap is off — map stages match scan-to-scan stages (the
+        ablation showed both knobs cost accuracy unless paired)."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {"odometry_reference": "local_map"}})
+        kind = AlignKind.LIDAR_ODOMETRY
+        assert m._stages_for(kind, for_map=True) == m.icp_cases[kind]
+        m.shutdown()
+
+    def test_distance_cap_applies_to_map_matchers(self):
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {
+            "odometry_reference": "local_map",
+            "local_map_max_match_distance": 0.5,
+        }})
+        kind = AlignKind.LIDAR_ODOMETRY
+        for s0, s1 in zip(m.icp_cases[kind], m._stages_for(kind, True)):
+            for m0, m1 in zip(s0.matchers, s1.matchers):
+                assert m1.distance_threshold == min(m0.distance_threshold, 0.5)
+        # scan-to-scan untouched
+        assert m._stages_for(kind, False) == m.icp_cases[kind]
+        m.shutdown()
+
     def test_stages_for_raises_thresholds_only_for_map(self):
         """Map-align stages get the convergence floor; scan-to-scan keeps
         the reference minAbsStep values untouched."""
