@@ -82,6 +82,7 @@ def icp_params_from_config(cfg: Dict[str, Any]) -> ICPParams:
             plane_eigen_threshold=float(mp.get("planeEigenThreshold", 0.07)),
             run_from_iteration=int(mp.get("runFromIteration", 0)),
             run_up_to_iteration=int(mp.get("runUpToIteration", 0)),
+            cand_k=int(mp.get("candidateCacheK", 0)),
         ))
     if not matchers:
         matchers.append(Matcher())
@@ -119,6 +120,7 @@ def icp_params_from_config(cfg: Dict[str, Any]) -> ICPParams:
         max_iterations=int(p.get("maxIterations", 100)),
         min_abs_step_trans=float(p.get("minAbsStep_trans", 5e-5)),
         min_abs_step_rot=float(p.get("minAbsStep_rot", 1e-5)),
+        cand_refresh=int(p.get("candidateCacheRefresh", 4)),
         matchers=tuple(matchers),
         solver=solver,
         quality=tuple(qualities),

@@ -25,11 +25,17 @@ from .worldmodel import ANNOTATION_NAME_PC_LAYERS, WorldModel
 def default_localize_params(cell: float = 1.0) -> ICPParams:
     """Point-to-point ICP sized for scan-vs-map queries ("auto" NN backend:
     the fused Pallas kernel on TPU — measured faster than the grid index
-    even at 131k-point maps, docs/nn_crossover.json)."""
+    even at 131k-point maps, docs/nn_crossover.json). Candidate-cached
+    matching (cand_k=4): against a 131k-point map the per-iteration full
+    1-NN dominates query latency; a top-4 refresh every 4 iterations +
+    O(N*4) re-argmin preserves the same local reassignment (same design
+    as the scan-to-map odometry default, measured faster AND slightly
+    more accurate there — docs/accuracy.md ablations)."""
     return ICPParams(
         max_iterations=30,
+        cand_refresh=4,
         matchers=(Matcher(kind="point2point", distance_threshold=cell,
-                          nn_backend="auto"),),
+                          nn_backend="auto", cand_k=4),),
         solver=Solver(kind="horn"),
         quality=(Quality(threshold_distance=0.3),),
         weights=PairWeights(use_scale_outlier_detector=False),

@@ -62,6 +62,15 @@ class Matcher:
     # loses to brute force on TPU at all sizes, kept for radius-limited
     # semantics). Explicit values: "xla", "pallas", "grid".
     nn_backend: str = "auto"
+    # Candidate-cached matching (1-NN kinds only: point2point /
+    # point2plane_normals). 0 = off (full NN every iteration, reference
+    # behavior). K > 0: every ``ICPParams.cand_refresh`` outer iterations
+    # the matcher refreshes a per-source top-K candidate list (TPU top-k
+    # unit via approx_min_k); in-between iterations re-argmin over those K
+    # gathered candidates — O(N*K) instead of O(N*M) — which preserves the
+    # local reassignment that drives late-iteration descent. Ignored under
+    # tensor parallelism (shard_axis).
+    cand_k: int = 0
 
 
 @dataclass(frozen=True)
@@ -115,6 +124,10 @@ class ICPParams:
     quality: Tuple[Quality, ...] = (Quality(),)
     weights: PairWeights = field(default_factory=PairWeights)
     nn_tile: int = 512
+    # Refresh period (outer iterations) for candidate-cached matchers
+    # (any Matcher with cand_k > 0). The align loop becomes two-level:
+    # refresh candidates, then cand_refresh cheap re-argmin iterations.
+    cand_refresh: int = 4
     # When set, the engine runs tensor-parallel: target clouds are sharded
     # on the point axis over this mesh axis name (use inside shard_map —
     # see parallel.distributed). None = single-device semantics.

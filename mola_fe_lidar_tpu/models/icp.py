@@ -90,6 +90,36 @@ def _nn_1(sp, src_mask, tgt, tile: int, backend: str):
                                           tile=tile)
 
 
+_CAND_KINDS = ("point2point", "point2plane_normals")
+
+
+def _uses_cands(params: ICPParams) -> bool:
+    return params.shard_axis is None and any(
+        m.cand_k > 0 and m.kind in _CAND_KINDS for m in params.matchers)
+
+
+def _refresh_cands(m: Matcher, pose, src, tgt) -> jax.Array:
+    """Top-K candidate indices per source point at the current pose (the
+    TPU top-k unit; exact on CPU)."""
+    sp = se3.transform(pose, src.xyz)
+    nn = matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.cand_k)
+    return nn.idx
+
+
+def _nn_from_cands(sp, tgt, cand_idx) -> matching_ops.NNResult:
+    """Exact re-argmin over the K cached candidates — O(N*K) with the
+    precision-safe difference form (no ||x||^2 - 2x.y cancellation)."""
+    cpts = jnp.take(tgt.xyz, cand_idx, axis=-2)          # [..., N, K, 3]
+    diff = cpts - sp[..., None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    tm = jnp.take(tgt.mask, cand_idx, axis=-1)
+    d2 = jnp.where(tm > 0.5, d2, 1e30)
+    j = jnp.argmin(d2, axis=-1)
+    idx = jnp.take_along_axis(cand_idx, j[..., None], axis=-1)[..., 0]
+    dist = jnp.sqrt(jnp.take_along_axis(d2, j[..., None], axis=-1)[..., 0])
+    return matching_ops.NNResult(idx.astype(jnp.int32), dist)
+
+
 def _matcher_active(m: Matcher, it: jax.Array) -> jax.Array:
     """Iteration-window activation (runFromIteration/runUpToIteration,
     0 = unbounded; reference params/icp-settings-regular.yaml:37-39)."""
@@ -101,12 +131,28 @@ def _matcher_active(m: Matcher, it: jax.Array) -> jax.Array:
 
 def _match_one(
     m: Matcher, pose, it, src_map: MetricMap, tgt_map: MetricMap,
-    tile: int, shard_axis: str | None, aux=None,
+    tile: int, shard_axis: str | None, aux=None, cand_idx=None,
 ) -> _Pairings:
     src = src_map[m.src_layer]
     tgt = tgt_map[m.tgt_layer]
     sp = se3.transform(pose, src.xyz)
     act = _matcher_active(m, it)
+
+    if cand_idx is not None and m.kind in _CAND_KINDS:
+        nn = _nn_from_cands(sp, tgt, cand_idx)
+        if m.kind == "point2point":
+            q = jnp.take(tgt.xyz, nn.idx, axis=-2)
+            w = src.mask * (nn.dist < m.distance_threshold) * act
+            return _Pairings(src.xyz, q, jnp.zeros_like(q), w, False)
+        q = jnp.take(tgt.xyz, nn.idx, axis=-2)
+        normals = jnp.take(tgt.attrs["normal"], nn.idx, axis=-2)
+        gate = (
+            jnp.take(tgt.attrs["planarity"], nn.idx, axis=-2)[..., 0]
+            if "planarity" in tgt.attrs
+            else jnp.ones_like(nn.dist)
+        )
+        w = src.mask * (nn.dist < m.distance_threshold) * gate * act
+        return _Pairings(src.xyz, q, normals, w, True)
 
     # Dispatch single-device vs tensor-parallel (target point axis sharded)
     backend = _resolve_backend(m.nn_backend, tgt.xyz.shape[-2])
@@ -288,7 +334,8 @@ def _prebuild_matcher_aux(src_map, tgt_map, params: ICPParams):
     return tuple(aux)
 
 
-def _gather(pose, it, src_map, tgt_map, params: ICPParams, aux=None):
+def _gather(pose, it, src_map, tgt_map, params: ICPParams, aux=None,
+            cands=None):
     """Run all matchers; return (plane-row system, raw p2p pairings)."""
     plane_rows = []
     p2p_rows = []
@@ -296,7 +343,8 @@ def _gather(pose, it, src_map, tgt_map, params: ICPParams, aux=None):
         pr = _apply_pair_weights(
             _match_one(m, pose, it, src_map, tgt_map, params.nn_tile,
                        params.shard_axis,
-                       aux[i] if aux is not None else None),
+                       aux[i] if aux is not None else None,
+                       cands[i] if cands is not None else None),
             pose, params,
         )
         if pr.is_plane:
@@ -385,9 +433,11 @@ def align(
 
     aux = _prebuild_matcher_aux(src_map, tgt_map, params)
 
-    def body(state):
-        pose, it, done = state
-        plane, p2p_rows = _gather(pose, it, src_map, tgt_map, params, aux)
+    def _step(pose, it, src_map, tgt_map, cands=None):
+        """One match→solve→convergence-check iteration (shared by both
+        loop shapes below)."""
+        plane, p2p_rows = _gather(pose, it, src_map, tgt_map, params, aux,
+                                  cands)
         new_pose = _solve(pose, plane, p2p_rows, params, init_pose)
         # Too few effective pairings → the system is unconstrained; stall at
         # the current pose (terminates via zero step) instead of trusting a
@@ -403,10 +453,42 @@ def align(
         converged = jnp.logical_and(
             d_trans < params.min_abs_step_trans, d_rot < params.min_abs_step_rot
         )
+        return new_pose, converged
+
+    def body(state):
+        pose, it, done = state
+        new_pose, converged = _step(pose, it, src_map, tgt_map)
         return (new_pose, it + 1, converged)
 
+    def body_cands(state):
+        """Two-level shape for candidate-cached matchers: refresh the
+        top-K lists at the block head, then cand_refresh cheap O(N*K)
+        re-argmin iterations. Converged/over-budget lanes freeze."""
+        pose, it, done = state
+        cands = tuple(
+            _refresh_cands(m, pose, src_map[m.src_layer], tgt_map[m.tgt_layer])
+            if (m.cand_k > 0 and m.kind in _CAND_KINDS) else None
+            for m in params.matchers)
+
+        def inner(_, st):
+            pose, it, done = st
+            active = jnp.logical_and(jnp.logical_not(done),
+                                     it < params.max_iterations)
+            new_pose, converged = _step(pose, it, src_map, tgt_map, cands)
+            new_pose = se3.Pose(
+                jnp.where(active[..., None, None], new_pose.R, pose.R),
+                jnp.where(active[..., None], new_pose.t, pose.t),
+            )
+            done = jnp.logical_or(done, jnp.logical_and(active, converged))
+            it = it + active.astype(jnp.int32)
+            return (new_pose, it, done)
+
+        return jax.lax.fori_loop(0, max(1, params.cand_refresh), inner,
+                                 (pose, it, done))
+
     state0 = (init_pose, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    pose, n_iter, converged = jax.lax.while_loop(cond, body, state0)
+    pose, n_iter, converged = jax.lax.while_loop(
+        cond, body_cands if _uses_cands(params) else body, state0)
 
     # Final system at the converged pose → covariance (CPose3DPDFGaussian).
     plane, _ = _gather(pose, n_iter, src_map, tgt_map, params, aux)

@@ -96,6 +96,14 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
+    else:
+        # persistent compile cache: the remote TPU compiler occasionally
+        # stalls for minutes on a program it has compiled before in
+        # another process (observed: one 752 s outlier in a 500-scan
+        # replay); the on-disk cache removes the re-roll entirely
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from mola_fe_lidar_tpu.obs.hdl64 import hdl64_sequence
     from mola_fe_lidar_tpu.obs.runner import run_replay

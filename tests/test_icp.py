@@ -173,3 +173,73 @@ class TestAlign:
         )
         res = align(src, tgt, bad, params)
         assert float(res.quality) < 0.5
+
+
+class TestCandidateCache:
+    """Candidate-cached matching (Matcher.cand_k): top-K refresh every
+    cand_refresh iterations + O(N*K) re-argmin in between must recover the
+    same transforms as full per-iteration NN."""
+
+    def test_p2p_cached_matches_full(self, world, rng):
+        true = se3.from_xyz_ypr(0.4, -0.2, 0.05, 0.03, 0.0, 0.01)
+        src, tgt = make_maps(world, true, rng)
+        cached = ICPParams(
+            max_iterations=60, cand_refresh=4,
+            matchers=(Matcher(kind="point2point", distance_threshold=2.0,
+                              cand_k=4),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        res = align(src, tgt, se3.identity(), cached)
+        full = align(src, tgt, se3.identity(), P2P_HORN)
+        et, er = pose_error(res.pose, true)
+        assert et < 5e-3 and er < 5e-4
+        # same quality scale as the full path
+        assert abs(float(res.quality) - float(full.quality)) < 0.05
+        assert int(res.n_iterations) <= 60
+
+    def test_p2plane_normals_cached_recovers(self, rng):
+        # plane-rich scene with precomputed normals on the target
+        from mola_fe_lidar_tpu.filters.pipeline import FilterEdgesPlanes
+
+        world_pts = structured_world(rng, n=4000)
+        f = FilterEdgesPlanes(voxel_filter_resolution=1.0,
+                              voxel_filter_decimation=1,
+                              planes_capacity=2048, edges_capacity=256,
+                              decimated_capacity=2048)
+        tgt = f({"raw": from_points(world_pts, capacity=4096)})
+        true = se3.from_xyz_ypr(0.25, 0.1, 0.02, 0.02, 0.0, 0.0)
+        src_pts = np.array(se3.transform(se3.inverse(true),
+                                         jnp.asarray(world_pts)))
+        src = f({"raw": from_points(src_pts, capacity=4096)})
+        mk = lambda k: ICPParams(
+            max_iterations=60, cand_refresh=4,
+            matchers=(Matcher(kind="point2plane_normals",
+                              src_layer="decimated", tgt_layer="planes",
+                              distance_threshold=1.5, cand_k=k),),
+            solver=Solver(kind="gauss_newton", max_iterations=10),
+            quality=(Quality(threshold_distance=0.3, src_layer="decimated",
+                             tgt_layer="decimated"),),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        res_c = align(src, tgt, se3.identity(), mk(4))
+        res_f = align(src, tgt, se3.identity(), mk(0))
+        etc, erc = pose_error(res_c.pose, true)
+        etf, erf = pose_error(res_f.pose, true)
+        # cached path lands within the same error envelope as full NN
+        assert etc < max(2 * etf, 2e-2), (etc, etf)
+        assert erc < max(2 * erf, 4e-3), (erc, erf)
+
+    def test_iteration_budget_respected(self, world, rng):
+        true = se3.from_xyz_ypr(0.1, 0.0, 0.0, 0.0, 0.0, 0.0)
+        src, tgt = make_maps(world, true, rng)
+        p = ICPParams(
+            max_iterations=7, cand_refresh=4,  # budget not divisible by R
+            min_abs_step_trans=0.0, min_abs_step_rot=0.0,
+            matchers=(Matcher(kind="point2point", distance_threshold=2.0,
+                              cand_k=4),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        res = align(src, tgt, se3.identity(), p)
+        assert int(res.n_iterations) == 7

@@ -108,17 +108,27 @@ class TestSnapshotBuild:
 
 
 class TestMapStageFloor:
-    def test_default_is_noop(self):
+    def test_default_keeps_reference_thresholds(self):
         """Default floor values equal the reference minAbsStep and the
-        distance cap is off — map stages match scan-to-scan stages (the
-        ablation showed both knobs cost accuracy unless paired)."""
+        distance cap is off (the ablation showed both cost accuracy);
+        the only default map-stage deviation is the candidate cache
+        (cand_k=4 — measured faster AND more accurate)."""
+        import dataclasses
         from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
         from mola_fe_lidar_tpu.models.config import AlignKind
+        from mola_fe_lidar_tpu.models.icp import _CAND_KINDS
 
         m = LidarOdometry()
         m.initialize({"params": {"odometry_reference": "local_map"}})
         kind = AlignKind.LIDAR_ODOMETRY
-        assert m._stages_for(kind, for_map=True) == m.icp_cases[kind]
+        for s0, s1 in zip(m.icp_cases[kind], m._stages_for(kind, True)):
+            undone = dataclasses.replace(s1, matchers=tuple(
+                dataclasses.replace(mm, cand_k=0)
+                if mm.kind in _CAND_KINDS else mm for mm in s1.matchers))
+            assert undone == s0
+            for mm in s1.matchers:
+                if mm.kind in _CAND_KINDS:
+                    assert mm.cand_k == 4
         m.shutdown()
 
     def test_distance_cap_applies_to_map_matchers(self):
