@@ -238,6 +238,13 @@ class LidarOdometryParameters:
     # preserves the late-iteration descent while suppressing wild
     # reassignments to distant planes inside the 1.5 m threshold).
     local_map_cand_k: int = 4
+    # Candidate cache for the vmapped nearby-keyframe batch align (the
+    # two-level loop vmaps cleanly — every lane refreshes at block
+    # heads). Those batches share the single chip with the scan pipeline,
+    # so their device time is pure queue-wait for the next scan. Loop-
+    # closure Monte-Carlo keeps full NN (wide-basin search needs the
+    # unrestricted pull). 0 = off.
+    nearby_cand_k: int = 4
     # Physical speed gate: per-scan translation beyond this * dt is
     # rejected as a teleport (self-similar-geometry aliasing basins keep
     # HIGH ICP quality, so only physics can catch them)
@@ -397,6 +404,7 @@ class LidarOdometry(FrontEndBase):
         p.local_map_max_match_distance = float(
             g("local_map_max_match_distance", p.local_map_max_match_distance))
         p.local_map_cand_k = int(g("local_map_cand_k", p.local_map_cand_k))
+        p.nearby_cand_k = int(g("nearby_cand_k", p.nearby_cand_k))
         p.max_sensor_speed = float(g("max_sensor_speed", p.max_sensor_speed))
         p.max_sensor_rot_rate = float(
             g("max_sensor_rot_rate", p.max_sensor_rot_rate))
@@ -1172,8 +1180,19 @@ class LidarOdometry(FrontEndBase):
         gts = jnp.stack([jnp.asarray(t_, jnp.float32) for _, _, t_ in keep]
                         + [jnp.zeros(3)] * (k_pad - len(keep)))
         stages = self.icp_cases[AlignKind.NEARBY_ALIGN]
-        flats = np.asarray(_get_packed_batch_align(stages)(
-            to_pcs, cur_pc, gRs, gts))  # one readback for the whole batch
+        if self.params.nearby_cand_k > 0:
+            from ..models.icp import _CAND_KINDS
+            stages = tuple(dataclasses.replace(s, matchers=tuple(
+                dataclasses.replace(mm, cand_k=self.params.nearby_cand_k)
+                if mm.kind in _CAND_KINDS else mm for mm in s.matchers))
+                for s in stages)
+        prof = self.profiler
+        prof.enter("checkNonAdjacent.nearby_batch_align")
+        try:
+            flats = np.asarray(_get_packed_batch_align(stages)(
+                to_pcs, cur_pc, gRs, gts))  # one readback for the whole batch
+        finally:
+            prof.leave("checkNonAdjacent.nearby_batch_align")
         for i in range(k_real):
             node, R_, t_ = keep[i]
             out = _unpack_icp_result(flats[i])
