@@ -1179,13 +1179,7 @@ class LidarOdometry(FrontEndBase):
                         + [jnp.eye(3)] * (k_pad - len(keep)))
         gts = jnp.stack([jnp.asarray(t_, jnp.float32) for _, _, t_ in keep]
                         + [jnp.zeros(3)] * (k_pad - len(keep)))
-        stages = self.icp_cases[AlignKind.NEARBY_ALIGN]
-        if self.params.nearby_cand_k > 0:
-            from ..models.icp import _CAND_KINDS
-            stages = tuple(dataclasses.replace(s, matchers=tuple(
-                dataclasses.replace(mm, cand_k=self.params.nearby_cand_k)
-                if mm.kind in _CAND_KINDS else mm for mm in s.matchers))
-                for s in stages)
+        stages = self._nearby_stages()
         prof = self.profiler
         prof.enter("checkNonAdjacent.nearby_batch_align")
         try:
@@ -1198,6 +1192,24 @@ class LidarOdometry(FrontEndBase):
             out = _unpack_icp_result(flats[i])
             self._accept_non_adjacent("nearby", cur_kf, node, R_, t_, out.goodness,
                                       out.found_pose_to_wrt_from)
+
+    def _nearby_stages(self):
+        """NEARBY_ALIGN stages with the candidate cache applied.
+
+        ``nearby_cand_k > 0`` patches ``cand_k`` onto the matcher kinds that
+        support it (bit-identical edge decisions on the 500-scan HDL-64
+        replay; the batches otherwise queue behind the scan pipeline on the
+        single chip). Loop-closure stages are never patched — the MC wide-
+        basin search needs the unrestricted NN pull.
+        """
+        stages = self.icp_cases[AlignKind.NEARBY_ALIGN]
+        if self.params.nearby_cand_k > 0:
+            from ..models.icp import _CAND_KINDS
+            stages = tuple(dataclasses.replace(s, matchers=tuple(
+                dataclasses.replace(mm, cand_k=self.params.nearby_cand_k)
+                if mm.kind in _CAND_KINDS else mm for mm in s.matchers))
+                for s in stages)
+        return stages
 
     def _check_non_adjacent_safe(self, kind, cur_kf, other_kf, R_, t_):
         try:

@@ -91,11 +91,25 @@ def _nn_1(sp, src_mask, tgt, tile: int, backend: str):
 
 
 _CAND_KINDS = ("point2point", "point2plane_normals")
+# kNN-neighborhood matchers can also ride the candidate cache when the list
+# is at least as wide as the neighborhood (kNN within the cached top-K is the
+# same eigen-fit math over a periodically-refreshed support set). Opt-in only
+# (cand_k >= knn required) — the frontend's cand_k patching never touches
+# these kinds.
+_CAND_KNN_KINDS = ("point2plane_knn", "point2line_knn")
+
+
+def _cand_eligible(m: Matcher) -> bool:
+    if m.cand_k <= 0:
+        return False
+    if m.kind in _CAND_KINDS:
+        return True
+    return m.kind in _CAND_KNN_KINDS and m.cand_k >= m.knn
 
 
 def _uses_cands(params: ICPParams) -> bool:
     return params.shard_axis is None and any(
-        m.cand_k > 0 and m.kind in _CAND_KINDS for m in params.matchers)
+        _cand_eligible(m) for m in params.matchers)
 
 
 def _refresh_cands(m: Matcher, pose, src, tgt) -> jax.Array:
@@ -104,6 +118,21 @@ def _refresh_cands(m: Matcher, pose, src, tgt) -> jax.Array:
     sp = se3.transform(pose, src.xyz)
     nn = matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.cand_k)
     return nn.idx
+
+
+def _knn_from_cands(sp, tgt, cand_idx, k: int) -> matching_ops.NNResult:
+    """Exact kNN restricted to the cached candidates — ``[...,N,k]`` idx/dist
+    with the same invalid convention as ``matching_ops.knn`` (masked rows
+    get dist ~1e15 > the 1e9 validity gate)."""
+    cpts = jnp.take(tgt.xyz, cand_idx, axis=-2)          # [..., N, K, 3]
+    diff = cpts - sp[..., None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    tm = jnp.take(tgt.mask, cand_idx, axis=-1)
+    d2 = jnp.where(tm > 0.5, d2, 1e30)
+    neg, j = jax.lax.top_k(-d2, k)                       # ascending distance
+    idx = jnp.take_along_axis(cand_idx, j, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    return matching_ops.NNResult(idx.astype(jnp.int32), dist)
 
 
 def _nn_from_cands(sp, tgt, cand_idx) -> matching_ops.NNResult:
@@ -178,7 +207,9 @@ def _match_one(
         # kernel (recall 1.0, compiles in seconds at any size; the
         # scan-merge XLA path takes minutes to compile at >=8k points).
         # CPU always uses the exact tiled-scan path.
-        if m.approx_knn and jax.default_backend() != "cpu":
+        if cand_idx is not None and m.kind in _CAND_KNN_KINDS:
+            nnk = lambda: _knn_from_cands(sp, tgt, cand_idx, m.knn)
+        elif m.approx_knn and jax.default_backend() != "cpu":
             nnk = lambda: matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
         elif backend == "pallas" and jax.default_backend() == "tpu":
             from ..ops import pallas_knn as pallas_knn_mod
@@ -467,7 +498,7 @@ def align(
         pose, it, done = state
         cands = tuple(
             _refresh_cands(m, pose, src_map[m.src_layer], tgt_map[m.tgt_layer])
-            if (m.cand_k > 0 and m.kind in _CAND_KINDS) else None
+            if _cand_eligible(m) else None
             for m in params.matchers)
 
         def inner(_, st):

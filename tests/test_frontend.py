@@ -273,3 +273,65 @@ class TestMultiStageICPCase:
         assert res.get("ate_rmse", 99) < 0.5
         m = res["module"]
         assert len(m.icp_cases[list(m.icp_cases)[0]]) == 2  # two stages
+
+
+class TestNearbyCandidateCache:
+    """nearby_cand_k patches cand_k into the NEARBY_ALIGN batch stages
+    (and only there — LC keeps the unrestricted NN for its wide basin)."""
+
+    def _module(self, **over):
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        # the KITTI preset's matcher stack: normals matcher is cand-eligible
+        without_vel = {
+            "params": {"maxIterations": 30},
+            "matchers": [{"class": "Matcher_Point2Plane_Normals",
+                          "params": {"distanceThreshold": 2.0,
+                                     "src_layer": "decimated",
+                                     "tgt_layer": "planes"}}],
+            "solvers": [{"class": "Solver_GaussNewton",
+                         "params": {"maxIterations": 8}}],
+            "quality": [{"class": "QualityEvaluator_PairedRatio",
+                         "params": {"thresholdDistance": 0.3,
+                                    "src_layer": "raw", "tgt_layer": "raw"}}],
+        }
+        m = LidarOdometry()
+        m.initialize(odom_test_cfg(icp_settings_without_vel=without_vel,
+                                   icp_settings_loop_closure=without_vel,
+                                   **over))
+        return m
+
+    def test_default_patches_cand_kinds(self):
+        import dataclasses
+        from mola_fe_lidar_tpu.models.config import AlignKind
+        from mola_fe_lidar_tpu.models.icp import _CAND_KINDS
+
+        m = self._module()
+        try:
+            base = m.icp_cases[AlignKind.NEARBY_ALIGN]
+            patched = m._nearby_stages()
+            assert any(mm.kind in _CAND_KINDS
+                       for s in base for mm in s.matchers), "test premise"
+            for s0, s1 in zip(base, patched):
+                for mm in s1.matchers:
+                    if mm.kind in _CAND_KINDS:
+                        assert mm.cand_k == m.params.nearby_cand_k == 4
+                # un-patching recovers the configured stages exactly
+                undone = dataclasses.replace(s1, matchers=tuple(
+                    dataclasses.replace(mm, cand_k=0)
+                    if mm.kind in _CAND_KINDS else mm for mm in s1.matchers))
+                assert undone == s0
+            # LC stages are never patched
+            assert all(mm.cand_k == 0
+                       for s in m.icp_cases[AlignKind.LOOP_CLOSURE]
+                       for mm in s.matchers)
+        finally:
+            m.shutdown()
+
+    def test_zero_disables(self):
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = self._module(nearby_cand_k=0)
+        try:
+            assert m._nearby_stages() is m.icp_cases[AlignKind.NEARBY_ALIGN]
+        finally:
+            m.shutdown()

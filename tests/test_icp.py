@@ -243,3 +243,55 @@ class TestCandidateCache:
         )
         res = align(src, tgt, se3.identity(), p)
         assert int(res.n_iterations) == 7
+
+
+class TestCandidateCacheKNN:
+    """kNN-neighborhood matchers (point2plane_knn / point2line_knn) ride the
+    candidate cache when cand_k >= knn: exact kNN within the cached top-K is
+    the same eigen-fit math over a periodically-refreshed support set."""
+
+    def _params(self, cand_k, kind="point2plane_knn"):
+        return ICPParams(
+            max_iterations=100, min_abs_step_trans=5e-5, min_abs_step_rot=1e-5,
+            cand_refresh=4,
+            matchers=(Matcher(kind=kind, distance_threshold=0.9, knn=6,
+                              plane_eigen_threshold=0.2, cand_k=cand_k),),
+            solver=Solver(kind="gauss_newton", max_iterations=10),
+            quality=(Quality(threshold_distance=0.3),),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+
+    def test_p2plane_knn_cached_matches_full(self, world, rng):
+        true = se3.from_xyz_ypr(0.3, -0.2, 0.05, 0.04, 0.0, 0.01)
+        src, tgt = make_maps(world, true, rng)
+        res_f = align(src, tgt, se3.identity(), self._params(0))
+        res_c = align(src, tgt, se3.identity(), self._params(16))
+        etf, erf = pose_error(res_f.pose, true)
+        etc, erc = pose_error(res_c.pose, true)
+        assert etc < max(1.5 * etf, 1e-2), (etc, etf)
+        assert erc < max(1.5 * erf, 2e-3), (erc, erf)
+        assert abs(float(res_c.quality) - float(res_f.quality)) < 0.05
+
+    def test_cand_k_below_knn_is_ineligible(self):
+        from mola_fe_lidar_tpu.models.icp import _cand_eligible, _uses_cands
+
+        p = self._params(4)           # cand_k 4 < knn 6 -> full NN path
+        assert not _cand_eligible(p.matchers[0])
+        assert not _uses_cands(p)
+        assert _uses_cands(self._params(6))
+
+    def test_knn_from_cands_exact_within_candidates(self, rng):
+        """kNN restricted to candidates == brute force over that subset."""
+        import jax
+        from mola_fe_lidar_tpu.models.icp import _knn_from_cands
+
+        pts = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+        tgt = from_points(pts, capacity=256)
+        sp = jnp.asarray(rng.uniform(-5, 5, (64, 3)).astype(np.float32))
+        cand = jnp.asarray(rng.integers(0, 256, (64, 16)), jnp.int32)
+        nn = _knn_from_cands(sp, tgt, cand, 6)
+        d_all = np.linalg.norm(
+            np.asarray(sp)[:, None, :] - pts[np.asarray(cand)], axis=-1)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(nn.dist), -1), np.sort(d_all, -1)[:, :6],
+            rtol=1e-4, atol=1e-5)
