@@ -339,13 +339,16 @@ def bench_headline(pairs):
         quality=(Quality(threshold_distance=0.10),),
         weights=PairWeights(use_scale_outlier_detector=False),
     )
-    f_parity = make_chunked_batched_align(parity, chunk=16)
+    # chunk=2: the while_loop inside each chunk runs to its slowest lane,
+    # so small chunks bound stragglers — measured 84 (chunk 16) -> 131 (8)
+    # -> 181 (4) -> 236 (2) -> 202 (1) pairs/s on the v5e chip
+    f_parity = make_chunked_batched_align(parity, chunk=2)
 
     @jax.jit
     def run_fast_impl(tgt_xyz_, tgt_mask_, srcs_, init_):
         tgts_ = {"raw": jax.vmap(lambda x, m: _attach_normals_knn(x, m, 8))(
             tgt_xyz_, tgt_mask_)}
-        chunk = 16
+        chunk = 8  # uniform convergence here; 500->515 pairs/s vs chunk 16
         bb = init_.t.shape[0]
         rs = lambda x: x.reshape(bb // chunk, chunk, *x.shape[1:])
         args = jax.tree.map(rs, (srcs_, tgts_, init_))
@@ -362,6 +365,20 @@ def bench_headline(pairs):
     tgts_plain = {"raw": PointCloud(tgt_xyz, tgt_mask, {})}
     res_p, dt_p = _timed(lambda: f_parity(srcs, tgts_plain, init), iters=5)
     rate_parity = b / dt_p
+    # parity accuracy, quality-gated the way the front-end consumes ICP:
+    # single-stage reference params from identity legitimately lose the
+    # odd pair (~1/64 at tau_sigma=0.08); the evaluator must FLAG those
+    errs_p = np.asarray(_pose_errors(res_p, taus))
+    q_p = np.asarray(res_p.quality)
+    acc_p = q_p > 0.5
+    parity_acc = {
+        "accept_frac": round(float(acc_p.mean()), 3),
+        "max_err_accepted_m": round(float(errs_p[acc_p].max()), 5)
+        if acc_p.any() else None,
+        "rejected_flagged_correctly": bool(
+            np.all(errs_p[~acc_p] > errs_p[acc_p].max()))
+        if acc_p.any() and (~acc_p).any() else True,
+    }
 
     # rough MXU-work model for the parity path: per outer iteration the kNN
     # distance expansion is the FLOP king: 2·N·M·3 madds (×6 passes at
@@ -372,6 +389,7 @@ def bench_headline(pairs):
     flops_per_pair = 2 * CAP * CAP * 3 * 6 * max(mean_iters, 1.0)
     util = flops_per_pair * rate_parity / 45e12  # ~f32-ish v5e MXU ceiling
     return {"rate_fast": rate_fast, "rate_parity": rate_parity,
+            "parity_accuracy": parity_acc,
             "min_quality": min_q, "max_err": max(errs),
             "est_mxu_utilization": round(util, 4)}
 
@@ -526,6 +544,7 @@ def main():
         "iters_timed": ITERS_TIMED,
         "parity_same_algorithm_pairs_per_sec": round(head["rate_parity"], 2),
         "vs_baseline_same_algorithm": round(head["rate_parity"] / cpu_rate, 2),
+        "parity_accuracy": head["parity_accuracy"],
         "est_mxu_utilization_parity": head["est_mxu_utilization"],
         "min_quality": round(head["min_quality"], 3),
         "max_trans_err_m": round(head["max_err"], 5),

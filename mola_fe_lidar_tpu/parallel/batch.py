@@ -84,6 +84,13 @@ def make_chunked_batched_align(params: ICPParams, chunk: int = 16):
     converges). Scanning vmapped chunks bounds the blast radius of a
     straggler to its chunk: total time = Σ chunk times, and healthy chunks
     exit after a handful of iterations. Batch size must divide by ``chunk``.
+
+    Measured on the v5e (64 pairs, 2048 pts, reference-parity kNN p2plane):
+    84 pairs/s at chunk 16 → 131 (8) → 181 (4) → 236 (2) → 202 (1); per-pair
+    convergence variance is large enough that small chunks win decisively
+    until the per-chunk dispatch-within-scan overhead flips at chunk 1.
+    Pick small chunks when convergence variance is high (poor initial
+    guesses), larger when every lane behaves identically.
     """
     inner = jax.vmap(lambda s, t, g: align(s, t, g, params))
 
