@@ -210,7 +210,7 @@ class HDL64World:
 
         rays_o = o_world.reshape(-1, 3)
         rays_d = d_world.reshape(-1, 3)
-        rng_hit = self.cast(rays_o, rays_d, t_flat - t0)
+        rng_hit = self.cast(rays_o, rays_d, t_flat)
 
         rng = self._rng
         valid = (rng_hit < self.max_range) & (rng.uniform(size=rng_hit.shape)

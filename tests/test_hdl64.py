@@ -63,13 +63,25 @@ class TestGeometry:
                               np.array([0.0, 10.0, 0.0]))]
         pose = lambda t: (np.eye(3), np.array([0.0, 0.0, 1.73]))
         o0 = w.scan(pose, 0.0, n_azimuth=512)
-        o5 = w.scan(pose, 0.0, n_azimuth=512)  # same time: deterministic?
+        o1 = w.scan(pose, 1.0, n_azimuth=512)
         # the car at t=0 sits at y~0; rays fired later in the sweep see it
         # displaced (per-column time) — verify car returns exist at all
         pts = o0["xyz"][o0["valid"] > 0.5]
-        car = pts[(pts[:, 0] > 7.5) & (pts[:, 0] < 12.5) & (pts[:, 2] > -1.0)
+        car = pts[(pts[:, 0] > 7.5) & (pts[:, 0] < 12.5) & (pts[:, 2] > -1.5)
                   & (np.abs(pts[:, 1]) < 3.0)]
         assert len(car) > 10
+        # at t0=1.0 s the car (v = +10 m/s in y) has moved ~10 m: its old
+        # footprint must be EMPTY of car-height returns and a displaced
+        # footprint around y ~ 10 must be populated (absolute-time motion —
+        # cars must not snap back to their t=0 pose every sweep)
+        pts1 = o1["xyz"][o1["valid"] > 0.5]
+        old_spot = pts1[(pts1[:, 0] > 7.5) & (pts1[:, 0] < 12.5)
+                        & (pts1[:, 2] > -1.5) & (np.abs(pts1[:, 1]) < 3.0)]
+        new_spot = pts1[(pts1[:, 0] > 7.5) & (pts1[:, 0] < 12.5)
+                        & (pts1[:, 2] > -1.5)
+                        & (np.abs(pts1[:, 1] - 10.0) < 3.0)]
+        assert len(old_spot) == 0
+        assert len(new_spot) > 10
 
 
 class TestRoute:
