@@ -125,10 +125,13 @@ def _stack_pairs(pairs, cap, layer="raw"):
 
     srcs, tgts, taus = [], [], []
     for world, tau in pairs:
+        # `world` may be a (src_world, tgt_world) tuple so src and tgt can
+        # differ by more than the rigid transform (outlier injection)
+        src_world, tgt_world = world if isinstance(world, tuple) else (world, world)
         R0, t0 = _cpu_se3_exp(-tau)
-        src_pts = (world @ R0.T + t0).astype(np.float32)
+        src_pts = (src_world @ R0.T + t0).astype(np.float32)
         srcs.append({layer: from_points(src_pts, capacity=cap)})
-        tgts.append({layer: from_points(world, capacity=cap)})
+        tgts.append({layer: from_points(tgt_world, capacity=cap)})
         taus.append(tau)
     stack = lambda ts: jax.tree.map(lambda *x: jnp.stack(x), *ts)
     return stack(srcs), stack(tgts), taus
@@ -206,7 +209,12 @@ def bench_configs(rng):
         if acc.any() and (~acc).any() else True,
     }
 
-    # #2 robust-Cauchy point-to-plane on outlier-injected pairs
+    # #2 robust-Cauchy point-to-plane on outlier-injected pairs.
+    # The TARGET has 20% of its points replaced by an off-pose cluster (a
+    # "dynamic object" present only in the target); the source stays clean.
+    # Those points rigidly DISAGREE with the true transform on both sides:
+    # src's last-k points lose their counterpart and tgt gains a spurious
+    # cluster that attracts false matches.
     out_pairs = []
     for world, tau in pairs:
         w = world.copy()
@@ -214,10 +222,8 @@ def bench_configs(rng):
         c = rng.uniform(-20, 20, 3).astype(np.float32)
         c[2] = 1.0
         w[-k:] = c + rng.normal(0, 1.0, (k, 3)).astype(np.float32)
-        out_pairs.append((w, tau))
-    srcs_o, tgts_o, taus_o = _stack_pairs(
-        [(p[0], p[1]) for p in out_pairs], CAP)
-    # sources get the UNshifted outliers -> 20% of points disagree rigidly
+        out_pairs.append(((world, w), tau))
+    srcs_o, tgts_o, taus_o = _stack_pairs(out_pairs, CAP)
     robust = ICPParams(
         max_iterations=40,
         matchers=(Matcher(kind="point2plane_knn", distance_threshold=1.0,
