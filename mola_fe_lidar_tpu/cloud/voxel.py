@@ -122,10 +122,27 @@ def voxel_stats(vs: VoxelSort, num_segments: int) -> VoxelStats:
     sum_x = jax.ops.segment_sum(vs.xyz * w[..., None], seg, num_segments=total)
     safe_n_all = jnp.maximum(count, 1.0)
     mean_all = sum_x / safe_n_all[..., None]
-    ctr = (vs.xyz - mean_all[seg]) * w[..., None]
-    outer = ctr[..., :, None] * ctr[..., None, :]
+    # weight each residual outer product by w ONCE (w·r·rᵀ, not (w·r)(w·r)ᵀ
+    # = w²·r·rᵀ): for binary masks they coincide, but fractional weights
+    # must stay consistent with the w-summed count used as the divisor
+    r = vs.xyz - mean_all[seg]
+    outer = (r * w[..., None])[..., :, None] * r[..., None, :]
     sum_cc = jax.ops.segment_sum(outer, seg, num_segments=total)
     count, mean = count[..., :-1], mean_all[..., :-1, :]
     cov = sum_cc[..., :-1, :, :] / jnp.maximum(count, 1.0)[..., None, None]
     valid = (count > 0.5).astype(vs.xyz.dtype)
     return VoxelStats(count, mean, cov, valid)
+
+
+def voxel_first_indices_np(xyz, res: float):
+    """Host-side exact "first point per voxel" dedup → sorted int indices.
+
+    Map *assembly* is a rare host-side op (localizer/local-map aggregate
+    builds); all per-query compute stays on device. Shared by
+    frontend/local_map.py and frontend/localizer.py.
+    """
+    import numpy as np
+
+    cells = np.floor(np.asarray(xyz) / res).astype(np.int64)
+    _, idx = np.unique(cells, axis=0, return_index=True)
+    return np.sort(idx)

@@ -26,17 +26,11 @@ from typing import Deque, Dict, Optional, Tuple
 import numpy as np
 
 from ..cloud.metric_map import MetricMap, PointCloud, from_points
+from ..cloud.voxel import voxel_first_indices_np as _voxel_first
 
 
 def _round_up(n: int, mult: int = 256) -> int:
     return max(mult, (n + mult - 1) // mult * mult)
-
-
-def _voxel_first(xyz: np.ndarray, res: float) -> np.ndarray:
-    """Indices of the first point in each occupied voxel (keeps attrs)."""
-    cells = np.floor(xyz / res).astype(np.int64)
-    _, idx = np.unique(cells, axis=0, return_index=True)
-    return np.sort(idx)
 
 
 class LocalMap:

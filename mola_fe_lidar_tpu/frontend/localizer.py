@@ -56,13 +56,11 @@ class MapLocalizer:
     # -- map construction --------------------------------------------------
     @staticmethod
     def _voxel_first_np(points: np.ndarray, res: float) -> np.ndarray:
-        """Host-side exact "first point per voxel" dedup (map *assembly* is a
-        rare host-side op; all per-query compute stays on device)."""
+        """Host-side exact "first point per voxel" dedup."""
         if len(points) == 0:
             return points
-        cells = np.floor(points / res).astype(np.int64)
-        _, idx = np.unique(cells, axis=0, return_index=True)
-        return points[np.sort(idx)]
+        from ..cloud.voxel import voxel_first_indices_np
+        return points[voxel_first_indices_np(points, res)]
 
     def build(self, clouds_and_poses: List[Tuple[MetricMap, Tuple[np.ndarray, np.ndarray]]]) -> None:
         """Aggregate (cloud, world_pose) pairs into the map frame.

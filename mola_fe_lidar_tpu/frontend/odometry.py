@@ -334,7 +334,11 @@ class LidarOdometry(FrontEndBase):
         # degrade the others, and non-trace errors (config typos surfacing as
         # KeyError/AttributeError/...) propagate instead of silently slowing
         # every subsequent scan
-        self._fused_ok: Dict[AlignKind, bool] = {k: True for k in AlignKind}
+        # keyed by (kind, use_map): the fused step is compiled per target
+        # mode too, and a trace failure in one mode must not disable the
+        # other (default True = try the fused path once per key)
+        self._fused_ok: Dict[Tuple[AlignKind, bool], bool] = {}
+        self._last_positive_dt: Optional[float] = None
         self._local_map_builder = None  # created on first KF in local_map mode
         self._map_fail_streak = 0       # consecutive weak scan-to-map aligns
         self._map_build_lock = threading.Lock()
@@ -456,6 +460,7 @@ class LidarOdometry(FrontEndBase):
             self.state = MethodState()
             self._local_map_builder = None
             self._map_fail_streak = 0
+            self._last_positive_dt = None
 
     def state_copy(self) -> MethodState:
         """Deep snapshot accessor (reference stateCopy(), LidarOdometry.h:163).
@@ -563,6 +568,8 @@ class LidarOdometry(FrontEndBase):
                 # 0.0 is falsy (0-based sequences) and would zero dt, silently
                 # skipping the velocity prior and twist update on scan #2
                 dt = tim - last_tim if last_tim is not None else 0.0
+                if dt > 1e-3:
+                    self._last_positive_dt = dt
                 # velocity-model prior (reference :264-275; full se(3) twist)
                 # — host-side numpy exp: no device dispatch for a 6-vector
                 if st.twist_is_good and dt > 0:
@@ -597,7 +604,8 @@ class LidarOdometry(FrontEndBase):
                     if hasattr(_f, "set_twist"):
                         _f.set_twist(deskew_twist)
 
-                if self.params.fused_scan_step and self._fused_ok[kind]:
+                if (self.params.fused_scan_step
+                        and self._fused_ok.get((kind, use_map), True)):
                     # ONE dispatch + ONE readback (see _get_fused_step)
                     try:
                         prof.enter("doProcess.fused_step")
@@ -618,7 +626,7 @@ class LidarOdometry(FrontEndBase):
                         # jit trace/compile failure for THIS kind only: fall
                         # back to the unfused path once, permanently
                         prof.leave("doProcess.fused_step")
-                        self._fused_ok[kind] = False
+                        self._fused_ok[(kind, use_map)] = False
                         self.log.warning(
                             "fused scan step failed to trace for %s; "
                             "using unfused path", kind, exc_info=True)
@@ -659,9 +667,13 @@ class LidarOdometry(FrontEndBase):
                 #    reference :809-816). On gate failure hold the motion
                 #    model and report goodness 0.
                 result_is_world = use_map
-                max_step = self.params.max_sensor_speed * max(dt, 1e-3)
-
-                max_rot_step = self.params.max_sensor_rot_rate * max(dt, 1e-3)
+                # dt<=0 (duplicate/non-monotonic timestamps) gives no motion
+                # bound; fall back to the last positive inter-scan dt (or one
+                # nominal sweep) rather than a 1 ms bound that would reject
+                # every correct alignment as a "teleport"
+                dt_gate = dt if dt > 1e-3 else (self._last_positive_dt or 0.1)
+                max_step = self.params.max_sensor_speed * dt_gate
+                max_rot_step = self.params.max_sensor_rot_rate * dt_gate
 
                 def _rel_norm(out, is_world):
                     Rp, tp = _np_pose(out.found_pose_to_wrt_from)
@@ -724,8 +736,9 @@ class LidarOdometry(FrontEndBase):
                             self.log.warning(
                                 "local map failing for %d scans; reseeding at "
                                 "next keyframe", self._map_fail_streak)
-                            self._local_map_builder = None
-                            st.local_map = None
+                            with self._state_lock:
+                                self._local_map_builder = None
+                                st.local_map = None
                             self._map_fail_streak = 0
                     else:
                         self._map_fail_streak = 0
@@ -837,8 +850,12 @@ class LidarOdometry(FrontEndBase):
                 prof.enter("doProcess.local_map_build_async")
                 mm = builder.build(builder.entries())
                 prof.leave("doProcess.local_map_build_async")
-                if self._local_map_builder is builder:
-                    self.state.local_map = mm  # atomic ref swap
+                # check+swap must be one atomic step under the same lock the
+                # reseed/reset paths take, or a stale build can resurrect a
+                # map that was just deliberately dropped
+                with self._state_lock:
+                    if self._local_map_builder is builder:
+                        self.state.local_map = mm
             except Exception:
                 prof.leave("doProcess.local_map_build_async")
                 self.log.warning("async local-map build failed",

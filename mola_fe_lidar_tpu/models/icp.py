@@ -399,11 +399,15 @@ def _solve(pose, plane: _Pairings, p2p_rows, params: ICPParams,
     s = params.solver
     if s.kind == "gauss_newton":
         prior_pose, prior_w = None, None
-        if s.prior_sigma_trans > 0 and s.prior_sigma_rot > 0 and init_pose is not None:
+        # enable the prior when EITHER sigma is set; an unset (<=0) sigma
+        # means "unconstrained on that block" = weight 0, not "disable the
+        # whole prior"
+        if ((s.prior_sigma_trans > 0 or s.prior_sigma_rot > 0)
+                and init_pose is not None):
             prior_pose = init_pose
-            prior_w = jnp.asarray(
-                [1.0 / s.prior_sigma_trans**2] * 3
-                + [1.0 / s.prior_sigma_rot**2] * 3, jnp.float32)
+            wt = 1.0 / s.prior_sigma_trans**2 if s.prior_sigma_trans > 0 else 0.0
+            wr = 1.0 / s.prior_sigma_rot**2 if s.prior_sigma_rot > 0 else 0.0
+            prior_w = jnp.asarray([wt] * 3 + [wr] * 3, jnp.float32)
         res = gauss_newton.point_to_plane_step(
             pose, plane.p, plane.q, plane.n, plane.w,
             inner_iterations=s.max_iterations, damping=s.damping,

@@ -52,9 +52,8 @@ def _timed(fn, readback, iters=20):
 
 
 def _voxel_first(points: np.ndarray, res: float) -> np.ndarray:
-    cells = np.floor(points / res).astype(np.int64)
-    _, idx = np.unique(cells, axis=0, return_index=True)
-    return points[np.sort(idx)]
+    from mola_fe_lidar_tpu.cloud.voxel import voxel_first_indices_np
+    return points[voxel_first_indices_np(points, res)]
 
 
 def _hdl64_scans(n_scans: int, n_azimuth: int = 2048):

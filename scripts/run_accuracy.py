@@ -162,6 +162,12 @@ def main():
                          est_R=np.stack([x[1][0] for x in sp]),
                          gt_t=np.stack([p for _, p in gt]),
                          gt_R=np.stack([R for R, _ in gt]))
+        # an overridden run is a different experiment: record the overrides
+        # and key the row so it can never silently replace a default-config
+        # row in the merged artifact
+        if args.override:
+            row["overrides"] = list(args.override)
+            name = name + "+" + ",".join(args.override)
         results[name] = row
         print(json.dumps({k: v for k, v in row.items() if k != "profile"},
                          default=float))

@@ -106,9 +106,11 @@ class TestFusedFallbackPerKind:
         m.drain()
         # scan 2 runs without a valid twist -> NEARBY_ALIGN case; only that
         # kind degrades, and the unfused path still produced keyframes
-        assert m._fused_ok[AlignKind.NEARBY_ALIGN] is False
-        assert m._fused_ok[AlignKind.LIDAR_ODOMETRY] is True
-        assert m._fused_ok[AlignKind.LOOP_CLOSURE] is True
+        assert m._fused_ok.get((AlignKind.NEARBY_ALIGN, False), True) is False
+        # ... for THAT (kind, use_map) mode only
+        assert m._fused_ok.get((AlignKind.NEARBY_ALIGN, True), True) is True
+        assert m._fused_ok.get((AlignKind.LIDAR_ODOMETRY, False), True) is True
+        assert m._fused_ok.get((AlignKind.LOOP_CLOSURE, False), True) is True
         assert m.state.last_kf is not None
         m._get_fused_step = real_get
         m.shutdown()
@@ -128,7 +130,7 @@ class TestFusedFallbackPerKind:
         with pytest.raises(KeyError):
             m._process(obs[1])
         # the fused path stays enabled: this was NOT a trace failure
-        assert m._fused_ok[AlignKind.NEARBY_ALIGN] is True
+        assert m._fused_ok.get((AlignKind.NEARBY_ALIGN, False), True) is True
         m.shutdown()
 
 
@@ -358,3 +360,59 @@ class TestDampedDeskewTwist:
         st.twist_is_good = True
         m._update_deskew_twist(0.1)
         np.testing.assert_allclose(st.twist_smooth, st.twist)
+
+
+class TestDtGateFallback:
+    def test_duplicate_timestamps_do_not_reject_motion(self, world):
+        """dt<=0 (duplicate/non-monotonic stamps) gives no physical motion
+        bound; the teleport gate must fall back to a nominal dt instead of
+        a 1 ms bound that rejects every correct ~1 m alignment."""
+        obs, _ = synthetic_sequence(kind="straight", n_scans=4, speed=2.0,
+                                    rate_hz=2.0, world=world)
+        for o in obs:
+            o["timestamp"] = 0.0  # clock glitch: all stamps identical
+        m = build_module(odom_test_cfg(min_time_between_scans=0.0))
+        for o in obs:
+            m.on_new_observation(o)
+        m.drain()
+        # 1 m of true motion per scan: the estimated world pose must have
+        # moved (old gate: max_sensor_speed * 1e-3 = 3 cm -> motion-model
+        # hold at identity forever)
+        assert np.linalg.norm(m.state.world_t) > 1.0
+        stats = m.profiler.stats()
+        assert "doProcess.reject_unphysical" not in stats
+        m.shutdown()
+
+
+class TestGNPriorEitherSigma:
+    def test_translation_only_prior_engages(self, rng):
+        """A translation-only prior (rot sigma unset <= 0) must still
+        constrain the solve; the old code required BOTH sigmas > 0."""
+        from test_icp import structured_world
+        from mola_fe_lidar_tpu.geometry import se3
+        from mola_fe_lidar_tpu.models import (
+            ICPParams, Matcher, Quality, Solver, align)
+
+        pts = structured_world(rng, n=1024)
+        mm = {"raw": from_points(pts, capacity=1024)}
+        init = se3.Pose(jnp.eye(3), jnp.asarray([0.5, 0.0, 0.0]))
+        base = dict(
+            max_iterations=15,
+            matchers=(Matcher(kind="point2plane_knn", distance_threshold=1.5,
+                              knn=6, plane_eigen_threshold=0.3),),
+            quality=(Quality(threshold_distance=0.3),),
+        )
+        tight = ICPParams(solver=Solver(
+            kind="gauss_newton", max_iterations=8,
+            prior_sigma_trans=1e-3, prior_sigma_rot=0.0), **base)
+        free = ICPParams(solver=Solver(
+            kind="gauss_newton", max_iterations=8), **base)
+        r_tight = align(mm, mm, init, tight)
+        r_free = align(mm, mm, init, free)
+        t_tight = np.asarray(r_tight.pose.t)
+        t_free = np.asarray(r_free.pose.t)
+        # identical clouds: unconstrained ICP -> identity; the tight
+        # translation prior (1e6 weight vs ~1e3 pairings) must pin the
+        # translation near the 0.5 m init instead
+        assert np.linalg.norm(t_free) < 0.1
+        assert abs(t_tight[0] - 0.5) < 0.1
