@@ -121,6 +121,8 @@ def icp_params_from_config(cfg: Dict[str, Any]) -> ICPParams:
         min_abs_step_trans=float(p.get("minAbsStep_trans", 5e-5)),
         min_abs_step_rot=float(p.get("minAbsStep_rot", 1e-5)),
         cand_refresh=int(p.get("candidateCacheRefresh", 4)),
+        cand_refresh_min_trans=float(p.get("candidateCacheMinMotionTrans", 0.0)),
+        cand_refresh_min_rot=float(p.get("candidateCacheMinMotionRot", 0.0)),
         matchers=tuple(matchers),
         solver=solver,
         quality=tuple(qualities),

@@ -30,10 +30,15 @@ def default_localize_params(cell: float = 1.0) -> ICPParams:
     1-NN dominates query latency; a top-4 refresh every 4 iterations +
     O(N*4) re-argmin preserves the same local reassignment (same design
     as the scan-to-map odometry default, measured faster AND slightly
-    more accurate there — docs/accuracy.md ablations)."""
+    more accurate there — docs/accuracy.md ablations). Refreshes are
+    motion-conditional (cand_refresh_min_*): localize() is unbatched, so
+    the lax.cond takes a real branch and the convergence tail skips the
+    O(N*M) full-map refresh once the pose settles within 2 cm/1 mrad."""
     return ICPParams(
         max_iterations=30,
         cand_refresh=4,
+        cand_refresh_min_trans=0.02,
+        cand_refresh_min_rot=0.001,
         matchers=(Matcher(kind="point2point", distance_threshold=cell,
                           nn_backend="auto", cand_k=4),),
         solver=Solver(kind="horn"),

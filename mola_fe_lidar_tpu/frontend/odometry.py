@@ -238,6 +238,16 @@ class LidarOdometryParameters:
     # preserves the late-iteration descent while suppressing wild
     # reassignments to distant planes inside the 1.5 m threshold).
     local_map_cand_k: int = 4
+    # Motion-conditional candidate refresh for the (unbatched) scan-to-map
+    # align (ICPParams.cand_refresh_min_*): a block-head refresh is skipped
+    # unless the pose moved past these thresholds since the LAST refresh.
+    # Default OFF: the 500-scan ablation (docs/accuracy.md) showed the
+    # block-head refreshes are the candidate-RECRUITING step of the crawl —
+    # 2 cm/1 mrad cost 80 % ATE, even 2 mm/0.1 mrad cost 47 % for <=5 %
+    # fused-step savings. The knob exists because the same mechanism is a
+    # clean ~20 % win for sharp-prior map queries (frontend/localizer.py).
+    local_map_cand_motion_trans: float = 0.0   # [m]
+    local_map_cand_motion_rot: float = 0.0     # [rad]
     # Candidate cache for the vmapped nearby-keyframe batch align (the
     # two-level loop vmaps cleanly — every lane refreshes at block
     # heads). Those batches share the single chip with the scan pipeline,
@@ -408,6 +418,10 @@ class LidarOdometry(FrontEndBase):
         p.local_map_max_match_distance = float(
             g("local_map_max_match_distance", p.local_map_max_match_distance))
         p.local_map_cand_k = int(g("local_map_cand_k", p.local_map_cand_k))
+        p.local_map_cand_motion_trans = float(
+            g("local_map_cand_motion_trans", p.local_map_cand_motion_trans))
+        p.local_map_cand_motion_rot = float(
+            g("local_map_cand_motion_rot", p.local_map_cand_motion_rot))
         p.nearby_cand_k = int(g("nearby_cand_k", p.nearby_cand_k))
         p.max_sensor_speed = float(g("max_sensor_speed", p.max_sensor_speed))
         p.max_sensor_rot_rate = float(
@@ -911,6 +925,8 @@ class LidarOdometry(FrontEndBase):
             out.append(dataclasses.replace(
                 s,
                 matchers=matchers,
+                cand_refresh_min_trans=p.local_map_cand_motion_trans,
+                cand_refresh_min_rot=p.local_map_cand_motion_rot,
                 min_abs_step_trans=max(s.min_abs_step_trans,
                                        p.local_map_min_abs_step_trans),
                 min_abs_step_rot=max(s.min_abs_step_rot,

@@ -128,6 +128,19 @@ class ICPParams:
     # (any Matcher with cand_k > 0). The align loop becomes two-level:
     # refresh candidates, then cand_refresh cheap re-argmin iterations.
     cand_refresh: int = 4
+    # Motion-conditional refresh: skip a block-head candidate refresh when
+    # the pose has moved less than these thresholds since the LAST refresh
+    # (translation [m] / rotation [rad]; 0 = always refresh, the fixed
+    # cadence above). Regime-dependent: for sharp-prior queries that
+    # re-argmin among near-ties (MapLocalizer) it cuts latency ~20 % with
+    # per-query identical poses, but on the scan-to-map odometry crawl the
+    # refreshes ARE the candidate-recruiting step and skipping them costs
+    # 47-80 % ATE for <=5 % step savings (docs/accuracy.md ablation) — keep
+    # 0 there. Unbatched aligns take a real `lax.cond` branch; under vmap
+    # the cond lowers to select (both branches execute), so leave these at
+    # 0 for batched stages.
+    cand_refresh_min_trans: float = 0.0
+    cand_refresh_min_rot: float = 0.0
     # When set, the engine runs tensor-parallel: target clouds are sharded
     # on the point axis over this mesh axis name (use inside shard_map —
     # see parallel.distributed). None = single-device semantics.

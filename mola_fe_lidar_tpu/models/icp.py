@@ -495,15 +495,25 @@ def align(
         new_pose, converged = _step(pose, it, src_map, tgt_map)
         return (new_pose, it + 1, converged)
 
-    def body_cands(state):
-        """Two-level shape for candidate-cached matchers: refresh the
-        top-K lists at the block head, then cand_refresh cheap O(N*K)
-        re-argmin iterations. Converged/over-budget lanes freeze."""
-        pose, it, done = state
-        cands = tuple(
-            _refresh_cands(m, pose, src_map[m.src_layer], tgt_map[m.tgt_layer])
-            if _cand_eligible(m) else None
-            for m in params.matchers)
+    elig = tuple(i for i, m in enumerate(params.matchers) if _cand_eligible(m))
+
+    def _refresh_all(pose):
+        """Top-K lists for every cache-eligible matcher (tuple over elig)."""
+        return tuple(
+            _refresh_cands(params.matchers[i], pose,
+                           src_map[params.matchers[i].src_layer],
+                           tgt_map[params.matchers[i].tgt_layer])
+            for i in elig)
+
+    def _as_per_matcher(cands):
+        full = [None] * len(params.matchers)
+        for j, i in enumerate(elig):
+            full[i] = cands[j]
+        return tuple(full)
+
+    def _cand_block(pose, it, done, cands):
+        """cand_refresh cheap O(N*K) re-argmin iterations off the given
+        candidate lists. Converged/over-budget lanes freeze."""
 
         def inner(_, st):
             pose, it, done = st
@@ -521,9 +531,48 @@ def align(
         return jax.lax.fori_loop(0, max(1, params.cand_refresh), inner,
                                  (pose, it, done))
 
-    state0 = (init_pose, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    pose, n_iter, converged = jax.lax.while_loop(
-        cond, body_cands if _uses_cands(params) else body, state0)
+    def body_cands(state):
+        """Two-level shape for candidate-cached matchers: refresh the
+        top-K lists at the block head, then a block of cheap iterations."""
+        pose, it, done = state
+        return _cand_block(pose, it, done, _as_per_matcher(_refresh_all(pose)))
+
+    def body_cands_cond(state):
+        """Motion-conditional variant: the block-head refresh only fires
+        when the pose moved past cand_refresh_min_* since the last refresh
+        — the late sub-mm crawl re-argmins over its existing lists and
+        never pays the O(N*M) refresh pass. Unbatched aligns only (under
+        vmap the cond lowers to select and both branches execute)."""
+        pose, it, done, cands, ref = state
+        delta = se3.log(se3.compose(pose, se3.inverse(ref)))
+        moved_terms = []
+        if params.cand_refresh_min_trans > 0:
+            moved_terms.append(jnp.linalg.norm(delta[..., :3], axis=-1)
+                               >= params.cand_refresh_min_trans)
+        if params.cand_refresh_min_rot > 0:
+            moved_terms.append(jnp.linalg.norm(delta[..., 3:], axis=-1)
+                               >= params.cand_refresh_min_rot)
+        moved = functools.reduce(jnp.logical_or, moved_terms)
+        cands, ref = jax.lax.cond(
+            moved,
+            lambda: (_refresh_all(pose), pose),
+            lambda: (cands, ref),
+        )
+        pose, it, done = _cand_block(pose, it, done, _as_per_matcher(cands))
+        return (pose, it, done, cands, ref)
+
+    it0 = jnp.zeros((), jnp.int32)
+    done0 = jnp.zeros((), bool)
+    if _uses_cands(params) and (params.cand_refresh_min_trans > 0
+                                or params.cand_refresh_min_rot > 0):
+        state0 = (init_pose, it0, done0, _refresh_all(init_pose), init_pose)
+        final_state = jax.lax.while_loop(
+            lambda s: cond(s[:3]), body_cands_cond, state0)
+        pose, n_iter, converged = final_state[:3]
+    else:
+        state0 = (init_pose, it0, done0)
+        pose, n_iter, converged = jax.lax.while_loop(
+            cond, body_cands if _uses_cands(params) else body, state0)
 
     # Final system at the converged pose → covariance (CPose3DPDFGaussian).
     plane, _ = _gather(pose, n_iter, src_map, tgt_map, params, aux)

@@ -244,6 +244,62 @@ class TestCandidateCache:
         res = align(src, tgt, se3.identity(), p)
         assert int(res.n_iterations) == 7
 
+    def test_motion_conditional_refresh_matches_fixed(self, world, rng):
+        """cand_refresh_min_* skips block-head refreshes once the pose
+        stops moving; with thresholds well under the point spacing the
+        final pose matches the fixed-cadence path to float precision."""
+        import dataclasses
+        true = se3.from_xyz_ypr(0.4, -0.2, 0.05, 0.03, 0.0, 0.01)
+        src, tgt = make_maps(world, true, rng)
+        fixed = ICPParams(
+            max_iterations=60, cand_refresh=4,
+            matchers=(Matcher(kind="point2point", distance_threshold=2.0,
+                              cand_k=4),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        cond = dataclasses.replace(fixed, cand_refresh_min_trans=0.02,
+                                   cand_refresh_min_rot=0.001)
+        rf = align(src, tgt, se3.identity(), fixed)
+        rc = align(src, tgt, se3.identity(), cond)
+        assert int(rc.n_iterations) <= 60
+        np.testing.assert_allclose(np.asarray(rc.pose.t),
+                                   np.asarray(rf.pose.t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rc.pose.R),
+                                   np.asarray(rf.pose.R), atol=1e-5)
+        etc, erc = pose_error(rc.pose, true)
+        assert etc < 5e-3 and erc < 5e-4
+
+    def test_motion_conditional_refresh_vmaps(self, world, rng):
+        """Under vmap the lax.cond lowers to select — no savings, but the
+        batched align must still compile and match the fixed-cadence
+        batched result bit-for-bit (this world's p2p plateau included)."""
+        from mola_fe_lidar_tpu.parallel.batch import make_batched_align
+        import dataclasses
+        true = se3.from_xyz_ypr(0.3, -0.1, 0.0, 0.02, 0.0, 0.0)
+        src, tgt = make_maps(world, true, rng)
+        fixed = ICPParams(
+            max_iterations=60, cand_refresh=4,
+            matchers=(Matcher(kind="point2point", distance_threshold=2.0,
+                              cand_k=4),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        cond = dataclasses.replace(fixed, cand_refresh_min_trans=0.02,
+                                   cand_refresh_min_rot=0.001)
+        stack = lambda mm: {k: jax.tree.map(
+            lambda a: jnp.stack([a, a]), v) for k, v in mm.items()}
+        init = se3.Pose(jnp.stack([se3.identity().R] * 2),
+                        jnp.stack([se3.identity().t] * 2))
+        rf = make_batched_align(fixed)(stack(src), stack(tgt), init)
+        rc = make_batched_align(cond)(stack(src), stack(tgt), init)
+        np.testing.assert_array_equal(np.asarray(rc.n_iterations),
+                                      np.asarray(rf.n_iterations))
+        np.testing.assert_allclose(np.asarray(rc.pose.t),
+                                   np.asarray(rf.pose.t), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rc.pose.R),
+                                   np.asarray(rf.pose.R), atol=1e-6)
+
 
 class TestCandidateCacheKNN:
     """kNN-neighborhood matchers (point2plane_knn / point2line_knn) ride the

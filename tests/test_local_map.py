@@ -131,6 +131,28 @@ class TestMapStageFloor:
                     assert mm.cand_k == 4
         m.shutdown()
 
+    def test_cand_motion_thresholds_apply_to_map_stages(self):
+        """local_map_cand_motion_* land on the map-align stages as
+        ICPParams.cand_refresh_min_*; scan-to-scan stages keep the fixed
+        cadence (they run batched where the cond lowers to select)."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {
+            "odometry_reference": "local_map",
+            "local_map_cand_motion_trans": 0.02,
+            "local_map_cand_motion_rot": 0.001,
+        }})
+        kind = AlignKind.LIDAR_ODOMETRY
+        for s in m._stages_for(kind, True):
+            assert s.cand_refresh_min_trans == 0.02
+            assert s.cand_refresh_min_rot == 0.001
+        for s in m._stages_for(kind, False):
+            assert s.cand_refresh_min_trans == 0.0
+            assert s.cand_refresh_min_rot == 0.0
+        m.shutdown()
+
     def test_distance_cap_applies_to_map_matchers(self):
         from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
         from mola_fe_lidar_tpu.models.config import AlignKind
