@@ -248,6 +248,16 @@ class LidarOdometryParameters:
     # clean ~20 % win for sharp-prior map queries (frontend/localizer.py).
     local_map_cand_motion_trans: float = 0.0   # [m]
     local_map_cand_motion_rot: float = 0.0     # [rad]
+    # GN solver inner iterations for map-align stages (0 = keep the stage's
+    # configured value, reference 20). Default OFF after a 3-run 500-scan
+    # ablation (docs/accuracy.md): a forced-100-outer probe shows identical
+    # pose at inner 2 with 24 % less loop time, but under real convergence
+    # thresholds the smaller per-outer step either trips minAbsStep early
+    # (ATE 1.0 -> 1.59 m) or — with thresholds rescaled ×inner/20 — extends
+    # the crawl until the savings vanish (ATE 1.14 m at the same step
+    # latency). The reference's 20-inner operating point is on the
+    # accuracy-latency frontier.
+    local_map_gn_inner: int = 0
     # Candidate cache for the vmapped nearby-keyframe batch align (the
     # two-level loop vmaps cleanly — every lane refreshes at block
     # heads). Those batches share the single chip with the scan pipeline,
@@ -422,6 +432,7 @@ class LidarOdometry(FrontEndBase):
             g("local_map_cand_motion_trans", p.local_map_cand_motion_trans))
         p.local_map_cand_motion_rot = float(
             g("local_map_cand_motion_rot", p.local_map_cand_motion_rot))
+        p.local_map_gn_inner = int(g("local_map_gn_inner", p.local_map_gn_inner))
         p.nearby_cand_k = int(g("nearby_cand_k", p.nearby_cand_k))
         p.max_sensor_speed = float(g("max_sensor_speed", p.max_sensor_speed))
         p.max_sensor_rot_rate = float(
@@ -922,15 +933,29 @@ class LidarOdometry(FrontEndBase):
                     dataclasses.replace(m, cand_k=p.local_map_cand_k)
                     if m.kind in _CAND_KINDS else m
                     for m in matchers)
+            solver = s.solver
+            step_t = max(s.min_abs_step_trans, p.local_map_min_abs_step_trans)
+            step_r = max(s.min_abs_step_rot, p.local_map_min_abs_step_rot)
+            if p.local_map_gn_inner > 0 and solver.kind == "gauss_newton":
+                # Fewer inner linearizations shrink the per-OUTER step near
+                # convergence (each outer step is ~inner/20 of the full GN
+                # fixed-point move), so an unscaled min_abs_step terminates
+                # the recruiting crawl early (measured: ATE 1.0 -> 1.59 m).
+                # Scaling the (floored) thresholds by the same ratio
+                # preserves the termination semantics ("the GN fixed point
+                # stopped moving") and the outer re-match count.
+                ratio = p.local_map_gn_inner / max(solver.max_iterations, 1)
+                step_t, step_r = step_t * ratio, step_r * ratio
+                solver = dataclasses.replace(
+                    solver, max_iterations=p.local_map_gn_inner)
             out.append(dataclasses.replace(
                 s,
                 matchers=matchers,
+                solver=solver,
                 cand_refresh_min_trans=p.local_map_cand_motion_trans,
                 cand_refresh_min_rot=p.local_map_cand_motion_rot,
-                min_abs_step_trans=max(s.min_abs_step_trans,
-                                       p.local_map_min_abs_step_trans),
-                min_abs_step_rot=max(s.min_abs_step_rot,
-                                     p.local_map_min_abs_step_rot)))
+                min_abs_step_trans=step_t,
+                min_abs_step_rot=step_r))
         return tuple(out)
 
     def _get_fused_step(self, kind: AlignKind, for_map: bool = False):

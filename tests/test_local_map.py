@@ -153,6 +153,25 @@ class TestMapStageFloor:
             assert s.cand_refresh_min_rot == 0.0
         m.shutdown()
 
+    def test_gn_inner_override_applies_to_map_stages(self):
+        """local_map_gn_inner caps the GN solver's inner iterations on map
+        stages only (0 = keep the reference's 20)."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {
+            "odometry_reference": "local_map",
+            "local_map_gn_inner": 2,
+        }})
+        kind = AlignKind.LIDAR_ODOMETRY
+        for s in m._stages_for(kind, True):
+            if s.solver.kind == "gauss_newton":
+                assert s.solver.max_iterations == 2
+        for s0, s1 in zip(m.icp_cases[kind], m._stages_for(kind, False)):
+            assert s1.solver.max_iterations == s0.solver.max_iterations
+        m.shutdown()
+
     def test_distance_cap_applies_to_map_matchers(self):
         from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
         from mola_fe_lidar_tpu.models.config import AlignKind
