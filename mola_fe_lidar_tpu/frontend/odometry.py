@@ -145,7 +145,13 @@ def _get_packed_align(stages: tuple):
 # -- host-side pose helpers (numpy; graph bookkeeping stays off-device) ----
 
 def _np_pose(p: se3.Pose) -> Tuple[np.ndarray, np.ndarray]:
-    return np.asarray(p.R, np.float64), np.asarray(p.t, np.float64)
+    # Project the device f32 rotation (~1e-5 orthonormality error from up
+    # to 100 f32 retraction composes inside the ICP loop) back onto SO(3):
+    # these poses chain into world/accum state and graph edges (composed
+    # again by Dijkstra), where the error compounds to det(R) ~ 1e-3 per
+    # 500 scans — enough to shear the rolling map and inflate rotation RPE.
+    return (se3_np.orthonormalize(np.asarray(p.R, np.float64)),
+            np.asarray(p.t, np.float64))
 
 
 def _jx_pose(R: np.ndarray, t: np.ndarray) -> se3.Pose:
@@ -799,7 +805,7 @@ class LidarOdometry(FrontEndBase):
                     # ICP returned the WORLD pose; downstream bookkeeping
                     # (twist, accum, factors) works on the scan-to-scan
                     # relative pose rel = world_prev^-1 * world_new
-                    world_new = (R, t)
+                    world_new = (R, np.asarray(t, float))
                     R = st.world_R.T @ world_new[0]
                     t = st.world_R.T @ (world_new[1] - st.world_t)
                     st.world_R, st.world_t = world_new

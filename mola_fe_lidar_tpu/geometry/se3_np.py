@@ -66,6 +66,21 @@ def rotation_angle(R: np.ndarray) -> float:
     return float(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
 
 
+def orthonormalize(R: np.ndarray) -> np.ndarray:
+    """Nearest rotation matrix (Frobenius) via SVD projection.
+
+    Device aligns return f32 rotations with ~1e-5 orthonormality error
+    (up to 100 f32 retraction composes inside the ICP loop). Chaining
+    hundreds of them into the world pose compounds to det(R) drift of
+    ~1e-3 per 500 scans, which shears map-building transforms and
+    inflates trace-based rotation metrics — re-project at every host
+    accumulation point.
+    """
+    U, _, Vt = np.linalg.svd(np.asarray(R, float))
+    D = np.diag([1.0, 1.0, float(np.sign(np.linalg.det(U @ Vt)))])
+    return U @ D @ Vt
+
+
 def compose(a: Pose, b: Pose) -> Pose:
     Ra, ta = a
     Rb, tb = b

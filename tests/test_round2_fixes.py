@@ -153,6 +153,26 @@ class TestZeroBasedTimestamps:
         m.shutdown()
 
 
+class TestWorldPoseStaysOnSO3:
+    def test_det_after_replay(self, world):
+        """Device aligns return f32 rotations with ~1e-5 orthonormality
+        error; unprojected, 500 chained scans drifted det(world_R) to
+        0.9985 (sheared rolling map, inflated rotation RPE). _np_pose now
+        projects every readback onto SO(3)."""
+        obs, _ = synthetic_sequence(kind="circle", n_scans=25, speed=2.0,
+                                    rate_hz=2.0, world=world)
+        m = build_module(odom_test_cfg())
+        for o in obs:
+            m.on_new_observation(o)
+            m.drain()
+        R = m.state.world_R
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-9)
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-9)
+        Ra = m.state.accum_since_last_kf_R
+        np.testing.assert_allclose(Ra.T @ Ra, np.eye(3), atol=1e-9)
+        m.shutdown()
+
+
 class TestCheckpointRootRestore:
     def test_non_minimum_root_round_trips(self, tmp_path):
         m = build_module(odom_test_cfg())

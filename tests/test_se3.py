@@ -178,3 +178,31 @@ class TestSe3NumpyMirror:
         from mola_fe_lidar_tpu.geometry import se3_np
         R, _ = se3_np.exp(np.array([0, 0, 0, 0, 0, 0.7]))
         np.testing.assert_allclose(se3_np.rotation_angle(R), 0.7, atol=1e-10)
+
+    def test_orthonormalize_projects_f32_drift(self, rng):
+        """Chaining f32 device rotations drifts det(R) off 1; the SO(3)
+        projection at _np_pose must cap the error at one align's level
+        (the replay regression: det 0.9985 after 500 scans unchecked)."""
+        from mola_fe_lidar_tpu.geometry import se3_np
+        def noisy_rot():
+            # a device align's rotation: ~1e-5 orthonormality error from
+            # up to 100 f32 retraction composes inside the ICP loop
+            R, _ = se3_np.exp(rng.standard_normal(6) * 0.02)
+            return (R + rng.normal(0, 1e-5, (3, 3))).astype(np.float32)
+        noise = [noisy_rot() for _ in range(500)]
+        W = np.eye(3)
+        for R in noise:
+            W = W @ R  # unprojected chain
+        drift = abs(np.linalg.det(W) - 1.0)
+        assert drift > 1e-6  # the disease is real
+        W = np.eye(3)
+        for R in noise:
+            W = W @ se3_np.orthonormalize(R)
+            W = se3_np.orthonormalize(W)
+        np.testing.assert_allclose(np.linalg.det(W), 1.0, atol=1e-12)
+        np.testing.assert_allclose(W.T @ W, np.eye(3), atol=1e-12)
+
+    def test_orthonormalize_identity_on_clean_rotation(self, rng):
+        from mola_fe_lidar_tpu.geometry import se3_np
+        R, _ = se3_np.exp(rng.standard_normal(6))
+        np.testing.assert_allclose(se3_np.orthonormalize(R), R, atol=1e-13)
