@@ -532,11 +532,56 @@ def bench_stress(rng):
     return out
 
 
+def bench_scan_to_map(rng):
+    """Production scan-to-map operating point: one 8k-pt filtered scan vs a
+    32k-pt map layer, candidate-cached point-to-plane (cand_k=4, refresh 4),
+    forced to the full 100-outer-iteration crawl (min_abs_step=0) — the
+    worst-case per-scan align the odometry front-end dispatches
+    (frontend/local_map.py; docs/accuracy.md profile)."""
+    import jax.numpy as jnp
+    from mola_fe_lidar_tpu.cloud import from_points
+    from mola_fe_lidar_tpu.filters.pipeline import _attach_normals_knn
+    from mola_fe_lidar_tpu.geometry import se3
+    from mola_fe_lidar_tpu.models import (
+        ICPParams, Matcher, PairWeights, Quality, Solver,
+    )
+    from mola_fe_lidar_tpu.models.icp import align
+
+    map_pts = make_world(rng, 32768, extent=60.0)
+    tgt = {"planes": _attach_normals_knn(
+        jnp.asarray(map_pts), jnp.ones(len(map_pts), jnp.float32), 8)}
+    sel = rng.choice(len(map_pts), 8192, replace=False)
+    tau = np.array([0.35, -0.15, 0.02, 0, 0, 0.02], np.float32)
+    R0, t0 = _cpu_se3_exp(-tau)
+    src_pts = (map_pts[sel] @ R0.T + t0).astype(np.float32)
+    src_pts += rng.normal(0, 0.02, src_pts.shape).astype(np.float32)
+    src = {"planes": from_points(src_pts, capacity=8192)}
+    p = ICPParams(
+        max_iterations=100, cand_refresh=4,
+        min_abs_step_trans=0.0, min_abs_step_rot=0.0,
+        matchers=(Matcher(kind="point2plane_normals", src_layer="planes",
+                          tgt_layer="planes", distance_threshold=1.5,
+                          cand_k=4),),
+        solver=Solver(kind="gauss_newton", max_iterations=20,
+                      prior_sigma_trans=0.5, prior_sigma_rot=0.2),
+        quality=(Quality(threshold_distance=0.3, src_layer="planes",
+                         tgt_layer="planes"),),
+        weights=PairWeights(use_scale_outlier_detector=False),
+    )
+    res, dt = _timed(lambda: align(src, tgt, se3.identity(), p), iters=10)
+    err = float(np.linalg.norm(np.asarray(res.pose.t) - tau[:3]))
+    return {"align_ms_100iter_crawl": round(dt * 1e3, 1),
+            "src_points": 8192, "map_points": 32768,
+            "trans_err_m": round(err, 5),
+            "quality": round(float(np.asarray(res.quality)), 3)}
+
+
 def main():
     rng = np.random.default_rng(SEED)
     pairs = make_pairs(rng, B, CAP)
     head = bench_headline(pairs)
     cfgs = bench_configs(rng)
+    cfgs["scan_to_map"] = bench_scan_to_map(rng)
     scaling = bench_scaling(rng)
     stress = bench_stress(rng)
     cpu_rate = bench_cpu(pairs)

@@ -33,11 +33,21 @@ def _round_up(n: int, mult: int = 256) -> int:
     return max(mult, (n + mult - 1) // mult * mult)
 
 
+def _voxel_keys64(xyz: np.ndarray, res: float) -> np.ndarray:
+    """Pack voxel coords into one int64 key (21 bits/axis, host-side)."""
+    c = np.floor(xyz / res).astype(np.int64)
+    m = np.int64((1 << 21) - 1)
+    return ((c[:, 0] & m) << 42) | ((c[:, 1] & m) << 21) | (c[:, 2] & m)
+
+
 class LocalMap:
     """Aggregate the last ``window`` keyframes' layers in the world frame."""
 
     def __init__(self, window: int = 10, capacity_mult=4,
-                 dedup_voxel: float = 0.25, keep_layers=None):
+                 dedup_voxel: float = 0.25, keep_layers=None,
+                 transient_min_views: int = 1,
+                 transient_protect_recent: int = 2,
+                 transient_voxel: Optional[float] = None):
         # dedup_voxel must stay BELOW the quality evaluator's
         # thresholdDistance (0.30 m in the KITTI preset): a coarser pitch
         # systematically pushes nearest map points past the pairing
@@ -54,6 +64,21 @@ class LocalMap:
         # raw ingest layer (131k caps) through the map would waste HBM and
         # host aggregation time for nothing
         self.keep_layers = set(keep_layers) if keep_layers is not None else None
+        # Transient (dynamic-object) suppression by multi-view consistency:
+        # with min_views >= 2, a world voxel kept in the map must have been
+        # observed by at least that many DISTINCT keyframes — a car moving
+        # ~3 m between 3 m-spaced keyframes never revisits its own voxels,
+        # while static structure seen from successive viewpoints does. The
+        # newest `protect_recent` keyframes are exempt: they cover exactly
+        # the fresh territory the next scans enter (dropping single-view
+        # points there re-creates the async-rebuild ATE hit —
+        # docs/accuracy.md). Consistency voxel defaults to 2x the dedup
+        # pitch so far-range static points (sparse ring spacing) still
+        # coincide across views. min_views=1 disables the filter.
+        self.transient_min_views = int(transient_min_views)
+        self.transient_protect_recent = int(transient_protect_recent)
+        self.transient_voxel = (float(transient_voxel) if transient_voxel
+                                else 2.0 * self.dedup_voxel)
         self._kfs: Deque[Tuple[Dict, Tuple[np.ndarray, np.ndarray]]] = deque(
             maxlen=self.window)
         self._caps: Dict[str, int] = {}
@@ -120,6 +145,20 @@ class LocalMap:
             xyz = np.concatenate(xs).astype(np.float32)
             attrs = {k: np.concatenate([a[k] for a in attr_lists])
                      for k in (attr_lists[0] if attr_lists else {})}
+            if (self.transient_min_views > 1
+                    and len(xs) > self.transient_protect_recent):
+                # distinct-keyframe view count per consistency voxel
+                entry_ids = np.concatenate([
+                    np.full(len(x), i, np.int64) for i, x in enumerate(xs)])
+                keys = _voxel_keys64(xyz, self.transient_voxel)
+                pk = np.unique(np.stack([keys, entry_ids], 1), axis=0)
+                uk, views = np.unique(pk[:, 0], return_counts=True)
+                v = views[np.searchsorted(uk, keys)]
+                keep_pt = ((v >= self.transient_min_views)
+                           | (entry_ids
+                              >= len(xs) - self.transient_protect_recent))
+                xyz = xyz[keep_pt]
+                attrs = {k: a[keep_pt] for k, a in attrs.items()}
             keep = _voxel_first(xyz, self.dedup_voxel)
             cap = self._caps[name]
             if len(keep) > cap:

@@ -264,6 +264,15 @@ class LidarOdometryParameters:
     # latency). The reference's 20-inner operating point is on the
     # accuracy-latency frontier.
     local_map_gn_inner: int = 0
+    # Transient (dynamic-object) suppression in the rolling map: a world
+    # voxel must be seen by >= this many distinct keyframes to stay in the
+    # map (newest `protect_recent` keyframes exempt — fresh territory).
+    # 1 = off. See LocalMap.transient_min_views; characterized on the
+    # moving-cars HDL-64 replay (docs/accuracy.md, docs/accuracy_dynamic.json).
+    local_map_min_views: int = 1
+    # consistency-vote voxel pitch (m); 0 = auto (2x dedup pitch)
+    local_map_transient_voxel: float = 0.0
+    local_map_protect_recent: int = 2
     # Candidate cache for the vmapped nearby-keyframe batch align (the
     # two-level loop vmaps cleanly — every lane refreshes at block
     # heads). Those batches share the single chip with the scan pipeline,
@@ -439,6 +448,12 @@ class LidarOdometry(FrontEndBase):
         p.local_map_cand_motion_rot = float(
             g("local_map_cand_motion_rot", p.local_map_cand_motion_rot))
         p.local_map_gn_inner = int(g("local_map_gn_inner", p.local_map_gn_inner))
+        p.local_map_min_views = int(
+            g("local_map_min_views", p.local_map_min_views))
+        p.local_map_transient_voxel = float(
+            g("local_map_transient_voxel", p.local_map_transient_voxel))
+        p.local_map_protect_recent = int(
+            g("local_map_protect_recent", p.local_map_protect_recent))
         p.nearby_cand_k = int(g("nearby_cand_k", p.nearby_cand_k))
         p.max_sensor_speed = float(g("max_sensor_speed", p.max_sensor_speed))
         p.max_sensor_rot_rate = float(
@@ -1099,7 +1114,11 @@ class LidarOdometry(FrontEndBase):
                     window=self.params.local_map_keyframes,
                     capacity_mult=self.params.local_map_capacity_mult,
                     dedup_voxel=self.params.local_map_dedup_voxel,
-                    keep_layers=keep or None)
+                    keep_layers=keep or None,
+                    transient_min_views=self.params.local_map_min_views,
+                    transient_protect_recent=self.params.local_map_protect_recent,
+                    transient_voxel=(self.params.local_map_transient_voxel
+                                     or None))
             self._local_map_builder.add_keyframe(
                 points, (st.world_R, st.world_t))
             if st.local_map is None or not self.params.local_map_async_build:

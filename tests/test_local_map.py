@@ -107,6 +107,56 @@ class TestSnapshotBuild:
         assert mp["decimated"].capacity == 256  # default mult 1
 
 
+class TestTransientFilter:
+    """Multi-view consistency suppression of dynamic objects in the
+    rolling map (LocalMap.transient_min_views)."""
+
+    @staticmethod
+    def _fill(lm, n_kf=5):
+        wall = np.stack([np.linspace(0, 10, 50), np.full(50, 5.0),
+                         np.ones(50)], -1).astype(np.float32)
+        for i in range(n_kf):
+            rng = np.random.default_rng(i)
+            car = (np.array([[3.0 * i, -5.0, 0.5]], np.float32)
+                   + rng.normal(0, 0.05, (20, 3)).astype(np.float32))
+            lm.add_keyframe({"raw": _cloud(np.concatenate([wall, car]),
+                                           capacity=256)},
+                            (np.eye(3), np.zeros(3)))
+
+    def test_min_views_drops_old_transients_keeps_static(self):
+        lm = LocalMap(window=6, capacity_mult=4, dedup_voxel=0.25,
+                      transient_min_views=2)
+        self._fill(lm)
+        pc = lm.build()["raw"]
+        kept = np.asarray(pc.xyz)[np.asarray(pc.mask) > 0.5]
+        wall_kept = kept[kept[:, 1] > 0]
+        car_kept = kept[kept[:, 1] < 0]
+        assert len(wall_kept) > 30                      # static stays
+        # cars from keyframes older than the protected newest-2 are gone
+        assert np.all(car_kept[:, 0] > 3.0 * 3 - 1.0)
+
+    def test_min_views_1_disables(self):
+        on = LocalMap(window=6, capacity_mult=4, dedup_voxel=0.25,
+                      transient_min_views=2)
+        off = LocalMap(window=6, capacity_mult=4, dedup_voxel=0.25)
+        self._fill(on), self._fill(off)
+        n_on = int(np.sum(np.asarray(on.build()["raw"].mask)))
+        n_off = int(np.sum(np.asarray(off.build()["raw"].mask)))
+        assert n_off > n_on
+
+    def test_protect_recent_keeps_fresh_territory(self):
+        """Points seen only by the newest keyframes survive (they cover
+        the territory the next scans enter)."""
+        lm = LocalMap(window=6, capacity_mult=4, dedup_voxel=0.25,
+                      transient_min_views=2, transient_protect_recent=2)
+        self._fill(lm)
+        pc = lm.build()["raw"]
+        kept = np.asarray(pc.xyz)[np.asarray(pc.mask) > 0.5]
+        car_kept = kept[kept[:, 1] < 0]
+        # newest two cars sit at x=9 and x=12
+        assert np.any(car_kept[:, 0] > 8.0)
+
+
 class TestMapStageFloor:
     def test_default_keeps_reference_thresholds(self):
         """Default floor values equal the reference minAbsStep and the
