@@ -1,5 +1,5 @@
 from .backend import (
-    BackEndBase, InMemoryBackend, ProposeKFInput, ProposeKFOutput,
+    BackEndBase, InMemoryBackend, OptimizingBackend, ProposeKFInput, ProposeKFOutput,
     AddFactorOutput, FactorRelativePose3, AdvertiseLocalization,
 )
 from .worldmodel import WorldModel, ANNOTATION_NAME_PC_LAYERS
@@ -8,7 +8,7 @@ from .module_base import FrontEndBase, MODULE_REGISTRY, RawObservation
 from .odometry import LidarOdometry, LidarOdometryParameters, ICPInput, ICPOutput
 
 __all__ = [
-    "BackEndBase", "InMemoryBackend", "ProposeKFInput", "ProposeKFOutput",
+    "BackEndBase", "InMemoryBackend", "OptimizingBackend", "ProposeKFInput", "ProposeKFOutput",
     "AddFactorOutput", "FactorRelativePose3", "AdvertiseLocalization",
     "WorldModel", "ANNOTATION_NAME_PC_LAYERS",
     "PoseGraph",

@@ -115,3 +115,98 @@ class InMemoryBackend(BackEndBase):
 
     def shutdown(self):
         self._pool.shutdown(wait=True)
+
+
+class OptimizingBackend(InMemoryBackend):
+    """Pose-graph-optimizing back-end — the mola-slam-gtsam analogue.
+
+    Records the factor stream like :class:`InMemoryBackend` and can
+    globally optimize all keyframe poses with the device-resident SE(3)
+    Levenberg-Marquardt engine (:mod:`..solve.pose_graph_gn`): the whole
+    graph rides one jit-compiled dispatch over padded fixed-shape arrays
+    (capacity-bucketed, one compile per bucket — the framework's standard
+    shape policy).
+
+    ``optimized_poses()`` is pull-based: call it whenever refined poses
+    are wanted (e.g. after replay, or after each loop closure). The
+    reference's protocol is fire-and-forget factor emission with the
+    optimizer running elsewhere (reference src/LidarOdometry.cpp:435-455);
+    pull-based optimization keeps that decoupling.
+    """
+
+    #: capacity buckets (nodes and edges round up to a multiple of this)
+    BUCKET = 64
+
+    def optimized_poses(self, iters: int = 30):
+        """Return {kf_id: (R 3x3 f64, t 3 f64)} after global LM.
+
+        Initial values come from composing factors in insertion order
+        (odometry factors arrive first for each new node, so every node
+        is reachable when its first factor lands).
+        """
+        import numpy as np
+
+        with self._lock:
+            factors = list(self.factors)
+        if not factors:
+            return {}
+        init = {}
+        edges = []
+        for f in factors:
+            R = np.asarray(f.rel_pose.R, np.float64)
+            t = np.asarray(f.rel_pose.t, np.float64)
+            if not init:
+                init[f.kf_from] = (np.eye(3), np.zeros(3))
+            if f.kf_from in init and f.kf_to not in init:
+                Ra, ta = init[f.kf_from]
+                init[f.kf_to] = (Ra @ R, Ra @ t + ta)
+            elif f.kf_to in init and f.kf_from not in init:
+                Rb, tb = init[f.kf_to]
+                init[f.kf_from] = (Rb @ R.T, tb - Rb @ R.T @ t)
+            elif f.kf_from not in init and f.kf_to not in init:
+                # disconnected component: anchor at identity
+                init[f.kf_from] = (np.eye(3), np.zeros(3))
+                Ra, ta = init[f.kf_from]
+                init[f.kf_to] = (Ra @ R, Ra @ t + ta)
+            edges.append((f.kf_from, f.kf_to, R, t,
+                          1.0 / f.noise_model_diag_xyz ** 2,
+                          1.0 / f.noise_model_diag_rot ** 2))
+
+        import jax.numpy as jnp
+
+        from ..solve.pose_graph_gn import optimize_pose_graph
+
+        ids = sorted(init)
+        index = {k: i for i, k in enumerate(ids)}
+        bucket = self.BUCKET
+        n_cap = max(bucket, -(-len(ids) // bucket) * bucket)
+        e_cap = max(bucket, -(-len(edges) // bucket) * bucket)
+        nodes_R = np.tile(np.eye(3, dtype=np.float32), (n_cap, 1, 1))
+        nodes_t = np.zeros((n_cap, 3), np.float32)
+        for k, i in index.items():
+            nodes_R[i], nodes_t[i] = init[k]
+        node_mask = np.zeros(n_cap, np.float32)
+        node_mask[: len(ids)] = 1.0
+        # padded edges must be finite: point them at node 0 w/ identity rel
+        e_from = np.zeros(e_cap, np.int32)
+        e_to = np.zeros(e_cap, np.int32)
+        rel_R = np.tile(np.eye(3, dtype=np.float32), (e_cap, 1, 1))
+        rel_t = np.zeros((e_cap, 3), np.float32)
+        w_trans = np.zeros(e_cap, np.float32)
+        w_rot = np.zeros(e_cap, np.float32)
+        e_mask = np.zeros(e_cap, np.float32)
+        for e, (a, b, R, t, wt, wr) in enumerate(edges):
+            e_from[e], e_to[e] = index[a], index[b]
+            rel_R[e], rel_t[e] = R, t
+            w_trans[e], w_rot[e] = wt, wr
+            e_mask[e] = 1.0
+        R_opt, t_opt, _ = optimize_pose_graph(
+            jnp.asarray(nodes_R), jnp.asarray(nodes_t),
+            jnp.asarray(node_mask), jnp.asarray(e_from), jnp.asarray(e_to),
+            jnp.asarray(rel_R), jnp.asarray(rel_t), jnp.asarray(w_trans),
+            jnp.asarray(w_rot), jnp.asarray(e_mask), iters=iters)
+        R_opt = np.asarray(R_opt, np.float64)
+        t_opt = np.asarray(t_opt, np.float64)
+        from ..geometry import se3_np
+        return {k: (se3_np.orthonormalize(R_opt[i]), t_opt[i])
+                for k, i in index.items()}

@@ -20,7 +20,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..frontend import InMemoryBackend, LidarOdometry, WorldModel
+from ..frontend import InMemoryBackend, LidarOdometry, OptimizingBackend, WorldModel
 from ..frontend.module_base import MODULE_REGISTRY
 from ..utils.config import load_yaml
 from ..utils.logging import get_logger
@@ -117,8 +117,16 @@ def per_scan_trajectory(backend, kf_poses):
 
 
 def run_replay(observations, cfg: Optional[dict] = None,
-               gt_poses=None, realtime: bool = False):
-    backend = InMemoryBackend()
+               gt_poses=None, realtime: bool = False, pgo: bool = False):
+    """Replay ``observations`` through the front-end.
+
+    ``pgo=True`` additionally runs the device-resident pose-graph
+    optimizer over the recorded factor stream (frontend/backend.py
+    ``OptimizingBackend`` — the mola-slam-gtsam analogue) and reports
+    ``*_pgo`` metric rows computed from the globally optimized keyframe
+    poses instead of the Dijkstra spanning-tree estimate.
+    """
+    backend = OptimizingBackend()
     module = build_module(cfg, backend=backend)
     t0 = time.perf_counter()
     for obs in observations:
@@ -137,6 +145,7 @@ def run_replay(observations, cfg: Optional[dict] = None,
     wall = time.perf_counter() - t0
 
     kf_poses = estimated_trajectory(module)
+    kf_pgo = backend.optimized_poses() if pgo and backend.factors else None
     result = {
         "n_scans": len(observations) if hasattr(observations, "__len__") else None,
         "n_keyframes": len(backend.keyframes),
@@ -149,11 +158,11 @@ def run_replay(observations, cfg: Optional[dict] = None,
     if gt_poses is not None and backend.keyframes and kf_poses:
         # associate KFs with gt by timestamp index order
         kf_ids = sorted(kf_poses)
-        ts = [backend.keyframes[k].timestamp for k in kf_ids]
+        ts_kf = [backend.keyframes[k].timestamp for k in kf_ids]
         # gt index = scan index (timestamps are scan-indexed by the datasets)
         dt = observations[1]["timestamp"] - observations[0]["timestamp"] if len(observations) > 1 else 1.0
         gt_sel, est_sel = [], []
-        for k, t in zip(kf_ids, ts):
+        for k, t in zip(kf_ids, ts_kf):
             idx = int(round((t - observations[0]["timestamp"]) / dt))
             if 0 <= idx < len(gt_poses):
                 gt_sel.append(gt_poses[idx])
@@ -179,6 +188,27 @@ def run_replay(observations, cfg: Optional[dict] = None,
             result["rpe_trans_scan"] = rpe_t
             result["rpe_rot_scan"] = rpe_r
         result["scan_poses"] = scan_traj
+
+        if kf_pgo:
+            # the same two evaluations over the globally optimized poses
+            gt_sel, est_sel = [], []
+            for k, t in zip(kf_ids, ts_kf):
+                idx = int(round((t - observations[0]["timestamp"]) / dt))
+                if 0 <= idx < len(gt_poses) and k in kf_pgo:
+                    gt_sel.append(gt_poses[idx])
+                    est_sel.append(kf_pgo[k])
+            if len(gt_sel) >= 3:
+                result["ate_rmse_pgo"] = ate_rmse(est_sel, gt_sel)
+            scan_traj_pgo = per_scan_trajectory(backend, kf_pgo)
+            gt_sel, est_sel = [], []
+            for ts, pose in scan_traj_pgo:
+                idx = int(round((ts - t0) / dt))
+                if 0 <= idx < len(gt_poses):
+                    gt_sel.append(gt_poses[idx])
+                    est_sel.append(pose)
+            if len(gt_sel) >= 3:
+                result["ate_rmse_scan_pgo"] = ate_rmse(est_sel, gt_sel)
+            result["kf_poses_pgo"] = kf_pgo
     return result
 
 
@@ -218,6 +248,10 @@ def main(argv=None) -> int:
                     help="print the hierarchical profiler report after replay")
     ap.add_argument("--viz-out", type=str, default=None,
                     help="export trajectory + keyframe clouds as PLY to this dir")
+    ap.add_argument("--pgo", action="store_true",
+                    help="globally optimize the keyframe pose graph "
+                         "(device LM over the factor stream) and report "
+                         "*_pgo metrics")
     args = ap.parse_args(argv)
 
     cfg = load_yaml(args.config) if args.config else DEFAULT_CFG
@@ -235,10 +269,11 @@ def main(argv=None) -> int:
         observations = list(seq)
         gt = seq.gt_poses_velo
 
-    res = run_replay(observations, cfg, gt_poses=gt)
+    res = run_replay(observations, cfg, gt_poses=gt, pgo=args.pgo)
     summary = {k: v for k, v in res.items()
                if k in ("n_scans", "n_keyframes", "n_factors", "wall_s",
-                        "ate_rmse", "rpe_trans", "rpe_rot")}
+                        "ate_rmse", "rpe_trans", "rpe_rot",
+                        "ate_rmse_pgo", "ate_rmse_scan_pgo")}
     summary["scans_per_sec"] = (res["n_scans"] or 0) / max(res["wall_s"], 1e-9)
     print(json.dumps(summary, indent=2, default=float))
     if args.out:
