@@ -137,15 +137,26 @@ def _stack_pairs(pairs, cap, layer="raw"):
     return stack(srcs), stack(tgts), taus
 
 
+def _settle(res):
+    """Force a device->host readback so the timing spans real execution
+    (block_until_ready does not reliably await queued dispatches on the
+    tunneled TPU — see CLAUDE.md)."""
+    if hasattr(res, "quality"):
+        np.asarray(res.quality)
+    else:
+        import jax
+        np.asarray(jax.tree.leaves(res)[-1])
+
+
 def _timed(fn, iters=ITERS_TIMED):
     """Median pairs-batch wall time, one readback per call."""
     res = fn()
-    np.asarray(res.quality)  # compile + settle
+    _settle(res)  # compile + settle
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         res = fn()
-        np.asarray(res.quality)
+        _settle(res)
         times.append(time.perf_counter() - t0)
     return res, float(np.median(times))
 
@@ -576,12 +587,72 @@ def bench_scan_to_map(rng):
             "quality": round(float(np.asarray(res.quality)), 3)}
 
 
+def bench_pgo(rng):
+    """Whole-graph pose-graph optimization (solve/pose_graph_gn.py): a
+    256-keyframe trajectory (odometry chain at the front-end's factor
+    noise, sigma 0.10 m / 1 deg) with 32 loop-closure edges, optimized by
+    the device LM in one dispatch. Reports ms per 30-iteration solve
+    (readback-timed) and the cost reduction."""
+    import jax.numpy as jnp
+    from mola_fe_lidar_tpu.solve.pose_graph_gn import optimize_pose_graph
+
+    n, n_lc = 256, 32
+    w_t, w_r = 1.0 / 0.10 ** 2, 1.0 / np.deg2rad(1.0) ** 2
+    # ground-truth poses on a wandering 2.5-D path
+    yaw = np.cumsum(rng.normal(0, 0.06, n)); yaw[0] = 0.0
+    gt_R = np.stack([np.array([[np.cos(a), -np.sin(a), 0],
+                               [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+                     for a in yaw]).astype(np.float64)
+    steps = np.stack([2.5 * np.cos(yaw[:-1]), 2.5 * np.sin(yaw[:-1]),
+                      rng.normal(0, 0.05, n - 1)], -1)
+    gt_t = np.concatenate([[np.zeros(3)], np.cumsum(steps, 0)])
+    edges = []
+    for i in range(n - 1):  # odometry chain, noise at the factor sigmas
+        dR = gt_R[i].T @ gt_R[i + 1]
+        dt_ = gt_R[i].T @ (gt_t[i + 1] - gt_t[i])
+        ang = rng.normal(0, np.deg2rad(1.0))
+        Rn = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        edges.append((i, i + 1, dR @ Rn, dt_ + rng.normal(0, 0.10, 3)))
+    for _ in range(n_lc):  # exact loop closures between distant nodes
+        i = int(rng.integers(0, n - 40)); j = int(rng.integers(i + 20, n))
+        edges.append((i, j, gt_R[i].T @ gt_R[j],
+                      gt_R[i].T @ (gt_t[j] - gt_t[i])))
+    # initial values: compose the noisy chain
+    init_R, init_t = [np.eye(3)], [np.zeros(3)]
+    for (_, _, R, t) in edges[: n - 1]:
+        init_R.append(init_R[-1] @ R)
+        init_t.append(init_R[-2] @ t + init_t[-1])
+    e_cap = len(edges)
+    e_from = np.array([e[0] for e in edges], np.int32)
+    e_to = np.array([e[1] for e in edges], np.int32)
+    rel_R = np.stack([e[2] for e in edges]).astype(np.float32)
+    rel_t = np.stack([e[3] for e in edges]).astype(np.float32)
+    args = (jnp.asarray(np.stack(init_R), jnp.float32),
+            jnp.asarray(np.stack(init_t), jnp.float32),
+            jnp.ones(n, jnp.float32), jnp.asarray(e_from), jnp.asarray(e_to),
+            jnp.asarray(rel_R), jnp.asarray(rel_t),
+            jnp.full(e_cap, w_t, jnp.float32), jnp.full(e_cap, w_r, jnp.float32),
+            jnp.ones(e_cap, jnp.float32))
+    _, _, cost0 = optimize_pose_graph(*args, iters=1)
+    (R_o, t_o, cost), dt = _timed(
+        lambda: optimize_pose_graph(*args, iters=30), iters=10)
+    ate0 = float(np.sqrt(np.mean(
+        np.sum((np.stack(init_t) - gt_t) ** 2, -1))))
+    ate1 = float(np.sqrt(np.mean(
+        np.sum((np.asarray(t_o, np.float64) - gt_t) ** 2, -1))))
+    return {"nodes": n, "edges": e_cap, "lm_iters": 30,
+            "solve_ms": round(dt * 1e3, 1),
+            "ate_init_m": round(ate0, 3), "ate_opt_m": round(ate1, 3)}
+
+
 def main():
     rng = np.random.default_rng(SEED)
     pairs = make_pairs(rng, B, CAP)
     head = bench_headline(pairs)
     cfgs = bench_configs(rng)
     cfgs["scan_to_map"] = bench_scan_to_map(rng)
+    cfgs["pose_graph_lm"] = bench_pgo(rng)
     scaling = bench_scaling(rng)
     stress = bench_stress(rng)
     cpu_rate = bench_cpu(pairs)

@@ -88,6 +88,22 @@ class InMemoryBackend(BackEndBase):
         self.factors: List[FactorRelativePose3] = []
         self.localizations: List[AdvertiseLocalization] = []
 
+    def _submit(self, work, refused):
+        """Submit to the pool; after shutdown, refuse gracefully.
+
+        A straggling front-end worker (e.g. a nearby-KF batch that out-
+        lived ``drain()``'s bounded wait) may call the protocol after the
+        pool is closed. The reference's future-based protocol has no
+        post-shutdown contract at all; raising out of the worker only
+        spams the error log, so return an already-resolved "not accepted"
+        future instead."""
+        try:
+            return self._pool.submit(work)
+        except RuntimeError:  # cannot schedule new futures after shutdown
+            fut: Future = Future()
+            fut.set_result(refused)
+            return fut
+
     def add_keyframe(self, kf: ProposeKFInput) -> Future:
         def work():
             with self._lock:
@@ -95,7 +111,7 @@ class InMemoryBackend(BackEndBase):
                 self.keyframes[kf_id] = kf
             return ProposeKFOutput(True, kf_id)
 
-        return self._pool.submit(work)
+        return self._submit(work, ProposeKFOutput(False, -1))
 
     def add_factor(self, f: FactorRelativePose3) -> Future:
         def work():
@@ -104,14 +120,14 @@ class InMemoryBackend(BackEndBase):
                 self.factors.append(f)
             return AddFactorOutput(True, fid)
 
-        return self._pool.submit(work)
+        return self._submit(work, AddFactorOutput(False, -1))
 
     def advertise_updated_localization(self, loc: AdvertiseLocalization) -> Future:
         def work():
             with self._lock:
                 self.localizations.append(loc)
 
-        return self._pool.submit(work)
+        return self._submit(work, None)
 
     def shutdown(self):
         self._pool.shutdown(wait=True)

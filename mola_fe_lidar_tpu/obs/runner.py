@@ -155,6 +155,8 @@ def run_replay(observations, cfg: Optional[dict] = None,
         "backend": backend,
         "module": module,
     }
+    if kf_pgo:
+        result["kf_poses_pgo"] = kf_pgo
     if gt_poses is not None and backend.keyframes and kf_poses:
         # associate KFs with gt by timestamp index order
         kf_ids = sorted(kf_poses)
@@ -208,7 +210,6 @@ def run_replay(observations, cfg: Optional[dict] = None,
                     est_sel.append(pose)
             if len(gt_sel) >= 3:
                 result["ate_rmse_scan_pgo"] = ate_rmse(est_sel, gt_sel)
-            result["kf_poses_pgo"] = kf_pgo
     return result
 
 
@@ -252,7 +253,15 @@ def main(argv=None) -> int:
                     help="globally optimize the keyframe pose graph "
                          "(device LM over the factor stream) and report "
                          "*_pgo metrics")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-device virtual CPU mesh (smokes; "
+                         "same dance as tests/conftest.py)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
 
     cfg = load_yaml(args.config) if args.config else DEFAULT_CFG
 
@@ -277,7 +286,9 @@ def main(argv=None) -> int:
     summary["scans_per_sec"] = (res["n_scans"] or 0) / max(res["wall_s"], 1e-9)
     print(json.dumps(summary, indent=2, default=float))
     if args.out:
-        save_trajectory_tum(args.out, res["kf_poses"], res["backend"])
+        # with --pgo the exported trajectory is the globally optimized one
+        poses = res.get("kf_poses_pgo") or res["kf_poses"]
+        save_trajectory_tum(args.out, poses, res["backend"])
         print(f"trajectory written to {args.out}")
     if args.viz_out:
         from .viz import export_run

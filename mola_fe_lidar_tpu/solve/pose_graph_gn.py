@@ -175,8 +175,13 @@ def optimize_pose_graph(
 
         def try_step(lam_try):
             Hd = H.at[jnp.arange(6 * n), jnp.arange(6 * n)].add(
-                lam_try * jnp.diagonal(H) * dof_mask)
-            delta = jnp.linalg.solve(Hd, -b).reshape(n, 6)
+                lam_try * jnp.diagonal(H) * dof_mask + 1e-8)
+            # H is SPD by construction (J^T W J on free DOFs + identity on
+            # eliminated DOFs + LM damping): Cholesky, not pivoted LU — on
+            # the remote TPU compiler the LU solve at 6N >= 1536 took
+            # >15 min to compile while Cholesky compiles in seconds
+            delta = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hd), -b).reshape(n, 6)
             cand = _retract(nodes, delta, free)
             return cand, _cost_only(cand, e_from, e_to, rel, w_diag, e_mask)
 

@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--override", action="append", default=[],
                     metavar="KEY=VALUE",
                     help="set a module param in every config (JSON value)")
+    ap.add_argument("--pgo", action="store_true",
+                    help="also run the device pose-graph optimizer over the "
+                         "factor stream and record *_pgo metric rows")
     ap.add_argument("--out", default=str(REPO / "docs" / "accuracy.json"))
     ap.add_argument("--dump-traj", default="",
                     help="directory for per-config est/gt trajectory npz")
@@ -136,11 +139,12 @@ def main():
                         scale=args.azimuth / 2048,
                         local_map=name.startswith("local_map"),
                         overrides=args.override)
-        res = run_replay(obs, cfg, gt_poses=gt)
+        res = run_replay(obs, cfg, gt_poses=gt, pgo=args.pgo)
         row = {k: res[k] for k in (
             "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",
             "ate_rmse", "rpe_trans", "rpe_rot",
-            "ate_rmse_scan", "rpe_trans_scan", "rpe_rot_scan") if k in res}
+            "ate_rmse_scan", "rpe_trans_scan", "rpe_rot_scan",
+            "ate_rmse_pgo", "ate_rmse_scan_pgo") if k in res}
         row["scans_per_sec"] = res["n_scans"] / max(res["wall_s"], 1e-9)
         # trajectory length for percentage-style drift numbers
         length = sum(float(np.linalg.norm(gt[i + 1][1] - gt[i][1]))

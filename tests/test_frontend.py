@@ -108,6 +108,20 @@ class TestBackend:
         assert abs(be.factors[0].noise_model_diag_rot - np.deg2rad(1.0)) < 1e-12
         be.shutdown()
 
+    def test_post_shutdown_calls_refused_gracefully(self):
+        """A straggling nearby/LC worker may call the protocol after
+        shutdown (drain()'s wait is bounded); it must get a resolved
+        not-accepted future, not a RuntimeError into the error log."""
+        from mola_fe_lidar_tpu.geometry import se3
+        be = InMemoryBackend()
+        be.shutdown()
+        out = be.add_keyframe(ProposeKFInput(timestamp=1.0)).result()
+        assert not out.success and out.new_kf_id == -1
+        fo = be.add_factor(FactorRelativePose3(0, 1, se3.identity())).result()
+        assert not fo.success
+        assert be.advertise_updated_localization(None).result() is None
+        assert not be.factors and not be.keyframes
+
 
 class TestICPConfigConverter:
     def test_reference_shaped_yaml(self):

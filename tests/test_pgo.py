@@ -190,4 +190,7 @@ class TestOptimizingBackend:
         assert "ate_rmse_pgo" in res and "ate_rmse_scan_pgo" in res
         assert np.isfinite(res["ate_rmse_pgo"])
         assert res["ate_rmse_pgo"] < 2.0 * res["ate_rmse"] + 0.05
+        # the optimized poses ride the result regardless of gt (the CLI's
+        # --out export path reads them)
+        assert set(res["kf_poses_pgo"]) == set(res["kf_poses"])
         res["module"].shutdown()
