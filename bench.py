@@ -580,7 +580,10 @@ def bench_scan_to_map(rng):
         weights=PairWeights(use_scale_outlier_detector=False),
     )
     res, dt = _timed(lambda: align(src, tgt, se3.identity(), p), iters=10)
-    err = float(np.linalg.norm(np.asarray(res.pose.t) - tau[:3]))
+    # compare against the true pose translation exp(tau).t, not the raw
+    # twist v (with nonzero omega, exp(tau).t = V(w) v != v)
+    _, t_true = _cpu_se3_exp(tau)
+    err = float(np.linalg.norm(np.asarray(res.pose.t) - t_true))
     return {"align_ms_100iter_crawl": round(dt * 1e3, 1),
             "src_points": 8192, "map_points": 32768,
             "trans_err_m": round(err, 5),

@@ -146,3 +146,22 @@ def voxel_first_indices_np(xyz, res: float):
     cells = np.floor(np.asarray(xyz) / res).astype(np.int64)
     _, idx = np.unique(cells, axis=0, return_index=True)
     return np.sort(idx)
+
+
+def hash_subsample_np(idx, cap: int):
+    """Deterministic hash-uniform subsample of an index array to ``cap``.
+
+    Host-side counterpart of filters.pipeline._compact_uniform's hash
+    decorrelation: voxel-sorted / azimuth-ordered buffers must NEVER be
+    truncated in input order (``[:cap]`` keeps a spatial slab and biases
+    registration — CLAUDE.md invariant). Knuth multiplicative hash spreads
+    the kept entries uniformly over the input regardless of its ordering.
+    Shared by frontend/localizer.py, frontend/local_map.py, and the bench
+    harnesses."""
+    import numpy as np
+
+    idx = np.asarray(idx)
+    if len(idx) <= cap:
+        return idx
+    h = (idx.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    return idx[np.argsort(h)][:cap]

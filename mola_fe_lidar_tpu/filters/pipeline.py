@@ -481,10 +481,7 @@ class FilterDeskew:
         return mm
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.jit, static_argnames=("to_end",))
+@functools.partial(jax.jit, static_argnames=("to_end",))
 def _deskew(pc: PointCloud, twist, period, to_end: bool = True) -> PointCloud:
     from ..geometry import se3
     t_frac = pc.attrs["time"][..., 0]                   # [N] in [0,1]

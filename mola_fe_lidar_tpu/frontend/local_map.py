@@ -26,6 +26,7 @@ from typing import Deque, Dict, Optional, Tuple
 import numpy as np
 
 from ..cloud.metric_map import MetricMap, PointCloud, from_points
+from ..cloud.voxel import hash_subsample_np
 from ..cloud.voxel import voxel_first_indices_np as _voxel_first
 
 
@@ -161,10 +162,7 @@ class LocalMap:
                 attrs = {k: a[keep_pt] for k, a in attrs.items()}
             keep = _voxel_first(xyz, self.dedup_voxel)
             cap = self._caps[name]
-            if len(keep) > cap:
-                h = (keep.astype(np.uint64) * np.uint64(2654435761)
-                     ) % np.uint64(1 << 32)
-                keep = keep[np.argsort(h)][:cap]
+            keep = hash_subsample_np(keep, cap)
             xyz = xyz[keep]
             attrs = {k: v[keep] for k, v in attrs.items()}
             out[name] = from_points(xyz, capacity=cap, attrs=attrs)

@@ -91,9 +91,9 @@ class MapLocalizer:
                 "MapLocalizer: aggregate map has %d voxels > capacity %d; "
                 "keeping a uniform subsample", len(world), self.map_capacity)
             # deterministic hash-uniform subsample, not a spatial slab
-            h = (np.arange(len(world), dtype=np.uint64) * np.uint64(2654435761)
-                 ) % np.uint64(len(world))
-            world = world[np.argsort(h)][: self.map_capacity]
+            from ..cloud.voxel import hash_subsample_np
+            world = world[hash_subsample_np(
+                np.arange(len(world)), self.map_capacity)]
         self._map = {"map": from_points(world, capacity=self.map_capacity)}
 
     def build_from_worldmodel(self, wm: WorldModel,

@@ -906,12 +906,23 @@ class LidarOdometry(FrontEndBase):
                 prof.leave("doProcess.local_map_build_async")
                 self.log.warning("async local-map build failed",
                                  exc_info=True)
+            handoff = None
             with self._map_build_lock:
-                if self._map_build_dirty and self._local_map_builder is builder:
+                if self._map_build_dirty:
                     self._map_build_dirty = False
-                    continue  # one more pass with a fresh snapshot
-                self._map_build_inflight = False
-                return
+                    cur = self._local_map_builder
+                    if cur is builder:
+                        continue  # one more pass with a fresh snapshot
+                    # the rebuild was requested for a builder that replaced
+                    # this one mid-build (reseed): hand the in-flight slot
+                    # to a worker for the current builder instead of
+                    # silently dropping the request
+                    handoff = cur
+                if handoff is None:
+                    self._map_build_inflight = False
+            if handoff is not None:  # submit outside the lock
+                self._nearby_pool.submit(self._map_build_worker, handoff)
+            return
 
     def _update_deskew_twist(self, dt: float) -> None:
         """Damped deskew twist: EMA over VALIDATED raw estimates plus a
@@ -923,10 +934,16 @@ class LidarOdometry(FrontEndBase):
                 st.twist_smooth = np.array(st.twist, np.float64)
             else:
                 dv = np.array(st.twist, np.float64) - st.twist_smooth
-                np.clip(dv[:3], -pp.deskew_max_accel * dt,
-                        pp.deskew_max_accel * dt, out=dv[:3])
-                np.clip(dv[3:], -pp.deskew_max_rot_accel * dt,
-                        pp.deskew_max_rot_accel * dt, out=dv[3:])
+                # the smoothed twist may be several scans stale (age counts
+                # consecutive unvalidated estimates); the physically
+                # admissible velocity change spans that whole window, so
+                # clamping to one dt would over-damp the catch-up step
+                # (e.g. real braking during a brief twist outage)
+                span = dt * (1 + st.twist_smooth_age)
+                np.clip(dv[:3], -pp.deskew_max_accel * span,
+                        pp.deskew_max_accel * span, out=dv[:3])
+                np.clip(dv[3:], -pp.deskew_max_rot_accel * span,
+                        pp.deskew_max_rot_accel * span, out=dv[3:])
                 st.twist_smooth = (st.twist_smooth
                                    + pp.deskew_twist_smoothing * dv)
             st.twist_smooth_age = 0

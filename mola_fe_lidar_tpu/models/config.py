@@ -56,11 +56,14 @@ class Matcher:
     # and to the exact scan-merge on CPU. Exact is forced under tensor
     # parallelism.
     approx_knn: bool = True
-    # 1-NN backend: "auto" resolves to "pallas" on TPU and "xla" elsewhere —
-    # the fused Pallas kernel is exact and fastest at every measured size
-    # (docs/nn_crossover.json; the voxel-hash "grid" is gather-bound and
-    # loses to brute force on TPU at all sizes, kept for radius-limited
-    # semantics). Explicit values: "xla", "pallas", "grid".
+    # 1-NN backend: "auto" resolves by measured crossover
+    # (docs/nn_crossover.json, models/icp.py::_resolve_backend): on TPU the
+    # XLA tiled scan at <= 4096 target points (fuses well under vmap), the
+    # fused Pallas kernel above (exact, compiles in seconds at any size,
+    # while the XLA scan's remote compile blows up past ~8k); CPU always
+    # XLA. The voxel-hash "grid" is gather-bound and loses to brute force
+    # on TPU at all sizes, kept for radius-limited semantics. Explicit
+    # values: "xla", "pallas", "grid".
     nn_backend: str = "auto"
     # Candidate-cached matching (1-NN kinds only: point2point /
     # point2plane_normals). 0 = off (full NN every iteration, reference

@@ -121,9 +121,15 @@ def _refresh_cands(m: Matcher, pose, src, tgt) -> jax.Array:
 
 
 def _knn_from_cands(sp, tgt, cand_idx, k: int) -> matching_ops.NNResult:
-    """Exact kNN restricted to the cached candidates — ``[...,N,k]`` idx/dist
-    with the same invalid convention as ``matching_ops.knn`` (masked rows
-    get dist ~1e15 > the 1e9 validity gate)."""
+    """Exact kNN restricted to the cached candidates — ``[...,N,k]`` idx/dist.
+
+    Masked TARGET candidates get dist ~1e15 (> the 1e9 validity gate), like
+    ``matching_ops.knn``. Unlike it, masked SOURCE rows are NOT sentineled:
+    they sit at the 1e6 padding position and return finite distances to
+    real candidates (~1.7e6, still > any match threshold), so consumers
+    must gate on ``src.mask`` — every matcher here already multiplies the
+    pairing weight by it — and must not count "valid" rows from distance
+    alone."""
     cpts = jnp.take(tgt.xyz, cand_idx, axis=-2)          # [..., N, K, 3]
     diff = cpts - sp[..., None, :]
     d2 = jnp.sum(diff * diff, axis=-1)

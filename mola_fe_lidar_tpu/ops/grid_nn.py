@@ -26,8 +26,9 @@ brute-force paths at every measured size (e.g. 131k×131k: grid ~1.4 s vs
 the fused Pallas 1-NN ~0.31 s; 2k×2k: 13 ms vs <1 ms). It is kept for its
 *radius-limited semantics* (matches the matcher's distance threshold
 exactly, never pairs beyond ``cell``) and for memory-constrained regimes —
-not as a fast path. The engine default is ``nn_backend="auto"`` → the
-Pallas kernel on TPU.
+not as a fast path. The engine default is ``nn_backend="auto"`` → on TPU,
+the XLA tiled scan at <= 4096 target points and the Pallas kernel above
+(models/icp.py::_resolve_backend).
 """
 
 from __future__ import annotations

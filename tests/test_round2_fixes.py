@@ -436,3 +436,70 @@ class TestGNPriorEitherSigma:
         # translation near the 0.5 m init instead
         assert np.linalg.norm(t_free) < 0.1
         assert abs(t_tight[0] - 0.5) < 0.1
+
+
+class TestHashSubsample:
+    def test_not_an_input_order_slab(self):
+        """hash_subsample_np must spread keeps across the whole input (a
+        [:cap] slab of a voxel/azimuth-sorted buffer is spatially biased —
+        CLAUDE.md invariant; review finding on bench_localize_tp)."""
+        from mola_fe_lidar_tpu.cloud.voxel import hash_subsample_np
+
+        idx = np.arange(10_000)
+        sel = hash_subsample_np(idx, 1000)
+        assert len(sel) == 1000 and len(np.unique(sel)) == 1000
+        # deterministic
+        np.testing.assert_array_equal(sel, hash_subsample_np(idx, 1000))
+        # covers the full range: every decile gets a share
+        hist, _ = np.histogram(sel, bins=10, range=(0, 10_000))
+        assert hist.min() > 50
+        # identity when under capacity
+        np.testing.assert_array_equal(hash_subsample_np(idx[:5], 10), idx[:5])
+
+
+class TestMapBuildReseedHandoff:
+    def test_dirty_rebuild_survives_builder_reseed(self):
+        """A rebuild requested while a build for a REPLACED builder is in
+        flight must be handed off to the current builder, not dropped
+        (review finding: the dirty flag was swallowed and the map stayed
+        stale until the next keyframe)."""
+        import threading
+        import types
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+
+        class Builder:
+            def __init__(self, tag):
+                self.tag, self.builds = tag, 0
+
+            def entries(self):
+                return []
+
+            def build(self, entries):
+                self.builds += 1
+                return {"tag": self.tag}
+
+        class InlinePool:
+            def submit(self, fn, *a):
+                fn(*a)
+
+        a, b = Builder("a"), Builder("b")
+        fake = types.SimpleNamespace(
+            profiler=types.SimpleNamespace(enter=lambda *_: None,
+                                           leave=lambda *_: None),
+            log=types.SimpleNamespace(warning=lambda *_, **k: None),
+            _state_lock=threading.Lock(),
+            _map_build_lock=threading.Lock(),
+            _map_build_inflight=True,   # as set by _schedule_map_build
+            _map_build_dirty=True,      # rebuild requested mid-build...
+            _local_map_builder=b,       # ...after the builder was reseeded
+            _nearby_pool=InlinePool(),
+            state=types.SimpleNamespace(local_map=None),
+        )
+        fake._map_build_worker = (
+            lambda builder: LidarOdometry._map_build_worker(fake, builder))
+        LidarOdometry._map_build_worker(fake, a)
+        # the stale build must not be swapped in; the handed-off build must
+        assert a.builds == 1 and b.builds == 1
+        assert fake.state.local_map == {"tag": "b"}
+        assert fake._map_build_inflight is False
+        assert fake._map_build_dirty is False
