@@ -364,9 +364,9 @@ def _attach_normals_knn(xyz, mask, k) -> PointCloud:
     cov = jnp.einsum("...ki,...kj->...ij", d, d, precision="highest") / cnt[..., None, None]
     evs = eigen3.sym_eigenvalues_3x3(cov)
     normals = eigen3.smallest_eigenvector_3x3(cov, evs)
-    planarity = jnp.clip(
-        1.0 - evs[..., 0] / jnp.maximum(evs[..., 1], 1e-9), 0.0, 1.0
-    ) * (cnt >= 4.0) * mask
+    # collinear neighborhoods (e0=e1=0) have NO defined normal — their
+    # planarity must be 0, not the fabricated 1-0/eps=1 (review finding)
+    planarity = eigen3.planarity_score_3x3(evs) * (cnt >= 4.0) * mask
     return PointCloud(xyz, mask, {"normal": normals, "planarity": planarity[:, None]})
 
 
@@ -376,9 +376,7 @@ def _attach_normals(xyz, mask, res, max_voxels) -> PointCloud:
     st = voxel.voxel_stats(vs, num_segments=max_voxels)
     evs = eigen3.sym_eigenvalues_3x3(st.cov)
     normals = eigen3.smallest_eigenvector_3x3(st.cov, evs)
-    planarity = jnp.clip(
-        1.0 - evs[..., 0] / jnp.maximum(evs[..., 1], 1e-9), 0.0, 1.0
-    ) * (st.count >= 4.0)
+    planarity = eigen3.planarity_score_3x3(evs) * (st.count >= 4.0)
     seg_c = jnp.minimum(voxel.voxel_segments(vs, max_voxels), max_voxels - 1)
     pt_n = jnp.take(normals, seg_c, axis=0)
     pt_p = jnp.take(planarity, seg_c)
@@ -436,9 +434,8 @@ def _attach_gicp_covs(xyz, mask, k, epsilon) -> PointCloud:
     attrs["cov"] = C.reshape(*C.shape[:-2], 9)
     # keep normals too — costs nothing and lets mixed matchers share a layer
     attrs["normal"] = n
-    attrs["planarity"] = jnp.clip(
-        1.0 - evs[..., 0] / jnp.maximum(evs[..., 1], 1e-9), 0.0, 1.0
-    )[..., None] * (cnt >= 4.0)[..., None]
+    attrs["planarity"] = (eigen3.planarity_score_3x3(evs)
+                          * (cnt >= 4.0))[..., None]
     return PointCloud(xyz, mask, attrs)
 
 

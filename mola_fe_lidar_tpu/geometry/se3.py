@@ -96,7 +96,7 @@ def so3_exp(w: jax.Array) -> jax.Array:
     theta_sq = jnp.sum(w * w, axis=-1)
     A, B, _ = _sinc_coeffs(theta_sq)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision="highest")  # metric-space matmul (CLAUDE.md)
     I = jnp.eye(3, dtype=w.dtype)
     return I + A[..., None, None] * W + B[..., None, None] * W2
 
@@ -143,7 +143,7 @@ def exp(tau: jax.Array) -> Pose:
     theta_sq = jnp.sum(w * w, axis=-1)
     A, B, C = _sinc_coeffs(theta_sq)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision="highest")  # metric-space matmul (CLAUDE.md)
     I = jnp.eye(3, dtype=tau.dtype)
     R = I + A[..., None, None] * W + B[..., None, None] * W2
     V = I + B[..., None, None] * W + C[..., None, None] * W2
@@ -157,7 +157,7 @@ def log(pose: Pose) -> jax.Array:
     theta_sq = jnp.sum(w * w, axis=-1)
     A, B, _ = _sinc_coeffs(theta_sq)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision="highest")  # metric-space matmul (CLAUDE.md)
     # V⁻¹ = I - ½W + (1/θ²)(1 - A/(2B)) W²   (small-θ: 1/12 + θ²/720)
     # f32-safe cutoff — see _sinc_coeffs
     small = theta_sq < 1e-5

@@ -86,7 +86,11 @@ class PairWeights:
     use_robust_kernel: bool = False
     robust_kernel: str = "cauchy"
     robust_kernel_param: float = 0.1
-    robust_kernel_scale: float = 400.0
+    # kernel sharpening: residuals are pre-scaled by sqrt(scale) (for
+    # Cauchy: 1/(1 + scale*(r/param)^2), the reference knob's algebra).
+    # Default 1.0 = nominal width; reference-shaped YAMLs load their own
+    # value (the reference files ship 400.0, frontend/icp_config.py:67).
+    robust_kernel_scale: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -142,17 +142,10 @@ def _knn_from_cands(sp, tgt, cand_idx, k: int) -> matching_ops.NNResult:
 
 
 def _nn_from_cands(sp, tgt, cand_idx) -> matching_ops.NNResult:
-    """Exact re-argmin over the K cached candidates — O(N*K) with the
-    precision-safe difference form (no ||x||^2 - 2x.y cancellation)."""
-    cpts = jnp.take(tgt.xyz, cand_idx, axis=-2)          # [..., N, K, 3]
-    diff = cpts - sp[..., None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    tm = jnp.take(tgt.mask, cand_idx, axis=-1)
-    d2 = jnp.where(tm > 0.5, d2, 1e30)
-    j = jnp.argmin(d2, axis=-1)
-    idx = jnp.take_along_axis(cand_idx, j[..., None], axis=-1)[..., 0]
-    dist = jnp.sqrt(jnp.take_along_axis(d2, j[..., None], axis=-1)[..., 0])
-    return matching_ops.NNResult(idx.astype(jnp.int32), dist)
+    """Exact re-argmin over the K cached candidates: ``_knn_from_cands``
+    with k=1, squeezed (same masked-source caveat)."""
+    nn = _knn_from_cands(sp, tgt, cand_idx, k=1)
+    return matching_ops.NNResult(nn.idx[..., 0], nn.dist[..., 0])
 
 
 def _matcher_active(m: Matcher, it: jax.Array) -> jax.Array:
@@ -313,13 +306,21 @@ def _match_one(
         d = (neigh - centroid[..., None, :]) * valid[..., None]
         cov = jnp.einsum("...ki,...kj->...ij", d, d, precision="highest") / cnt[..., None, None]
         evs = eigen3.sym_eigenvalues_3x3(cov)
-        normal = eigen3.smallest_eigenvector_3x3(cov, evs)
+        # an EXACTLY collinear neighborhood (pole/edge: e0=e1=0) passes the
+        # planar gate but has no defined normal — ungated, the extraction's
+        # +z fallback would inject a fabricated full-weight constraint
+        # ALONG the line (review finding). Noise-driven near-degenerate
+        # normals are kept: reference parity (their Eigen solve of the same
+        # noisy covariance behaves identically).
+        normal, well = eigen3.smallest_eigenvector_3x3(cov, evs,
+                                                       return_valid=True)
         planar = (evs[..., 0] <= m.plane_eigen_threshold * jnp.maximum(evs[..., 2], 1e-12))
         enough = jnp.sum(valid, axis=-1) >= 3.0
         w = (
             src.mask
             * (nn.dist[..., 0] < m.distance_threshold)
             * planar.astype(sp.dtype)
+            * well.astype(sp.dtype)
             * enough.astype(sp.dtype)
             * act
         )
@@ -351,7 +352,8 @@ def _apply_pair_weights(pr: _Pairings, pose, params: ICPParams) -> _Pairings:
         else:
             r = jnp.linalg.norm(rp - pr.q, axis=-1)
         w = w * robust.robust_weights(
-            r, params.weights.robust_kernel, params.weights.robust_kernel_param
+            r, params.weights.robust_kernel, params.weights.robust_kernel_param,
+            params.weights.robust_kernel_scale,
         )
     return pr._replace(w=w)
 

@@ -51,27 +51,63 @@ def sym_eigenvalues_3x3(A: jax.Array) -> jax.Array:
     return jnp.stack([e0, e1, e2], axis=-1)
 
 
-def smallest_eigenvector_3x3(A: jax.Array, eigenvalues: jax.Array | None = None) -> jax.Array:
+def smallest_eigenvector_3x3(A: jax.Array, eigenvalues: jax.Array | None = None,
+                             return_valid: bool = False):
     """Unit eigenvector for the smallest eigenvalue of symmetric [...,3,3].
 
     Uses the fact that for eigenvalues λ0 ≤ λ1 ≤ λ2, every column of
     ``(A - λ1 I)(A - λ2 I)`` lies in the λ0 eigenspace; we take the
-    largest-norm column for conditioning. Degenerate (isotropic) inputs
-    fall back to +z.
+    largest-norm column for conditioning. Degenerate inputs fall back
+    to +z.
+
+    ``return_valid=True`` additionally returns a boolean [...] that is
+    False exactly where the fallback fired: for a COLLINEAR neighborhood
+    (λ0=λ1, e.g. a pole/edge: the λ0 eigenspace is a 2-D subspace) the
+    extraction matrix vanishes identically, and the +z fallback is a
+    FABRICATED normal that must not constrain a solve (plane matchers
+    zero those pairing weights; planarity attrs zero those scores). The
+    vanishing test is RELATIVE to the matrix scale λ2² — f32 covariance
+    assembly leaves ~1e-6·λ2² noise in B on an exact line, while a real
+    (even ill-conditioned) λ0 eigenvector keeps ‖B column‖ ≈ λ1·λ2 —
+    so the 1e-5·λ2² cut separates fabricated from merely noisy, and
+    near-collinear-but-real neighborhoods keep their (reference-parity)
+    noise-driven normal.
     """
     if eigenvalues is None:
         eigenvalues = sym_eigenvalues_3x3(A)
     e0, e1, e2 = eigenvalues[..., 0], eigenvalues[..., 1], eigenvalues[..., 2]
     I = jnp.eye(3, dtype=A.dtype)
-    B = (A - e1[..., None, None] * I) @ (A - e2[..., None, None] * I)
+    # metric-space matmul: pin precision (CLAUDE.md) — bf16 product noise
+    # is amplified by the eigen-gap conditioning of the extracted column
+    B = jnp.matmul(A - e1[..., None, None] * I, A - e2[..., None, None] * I,
+                   precision="highest")
     norms = jnp.sum(B * B, axis=-2)  # squared column norms [..., 3]
     best = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(B, best[..., None, None], axis=-1)[..., 0]
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    ok = n[..., 0] > 1e-9
+    ok = n[..., 0] > jnp.maximum(1e-5 * e2 * e2, 1e-9)
     fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=A.dtype), v.shape)
     v = jnp.where(ok[..., None], v / jnp.where(ok[..., None], n, 1.0), fallback)
+    if return_valid:
+        return v, ok
     return v
+
+
+def planarity_score_3x3(eigenvalues: jax.Array,
+                        rel_floor: float = 1e-3) -> jax.Array:
+    """Planarity ∈ [0,1] from ascending eigenvalues: ``1 − λ0/λ1`` (sharp
+    planes → 1), gated to 0 for LINE-like spectra (λ1 ≤ rel_floor·λ2).
+
+    The ratio alone is meaningless on a collinear neighborhood: λ0 and λ1
+    are both f32 assembly noise (≤ ~1e-4·λ2 measured), so ``1 − λ0/λ1``
+    lands anywhere in [0,1] — including a fabricated 1.0 that would feed
+    full-weight point2plane_normals pairings. Genuine areally-sampled
+    planes (voxel-spread normals layers) have λ1 ≳ 1e-2·λ2, an order
+    above the gate. Shared by the three normal-attaching filters."""
+    e0, e1, e2 = (eigenvalues[..., 0], eigenvalues[..., 1],
+                  eigenvalues[..., 2])
+    score = jnp.clip(1.0 - e0 / jnp.maximum(e1, 1e-9), 0.0, 1.0)
+    return score * (e1 > rel_floor * jnp.maximum(e2, _EPS))
 
 
 def cholesky_3x3(A: jax.Array, jitter: float = 1e-9) -> jax.Array:
@@ -119,7 +155,8 @@ def largest_eigenvector_3x3(A: jax.Array, eigenvalues: jax.Array | None = None) 
         eigenvalues = sym_eigenvalues_3x3(A)
     e0, e1 = eigenvalues[..., 0], eigenvalues[..., 1]
     I = jnp.eye(3, dtype=A.dtype)
-    B = (A - e0[..., None, None] * I) @ (A - e1[..., None, None] * I)
+    B = jnp.matmul(A - e0[..., None, None] * I, A - e1[..., None, None] * I,
+                   precision="highest")
     norms = jnp.sum(B * B, axis=-2)
     best = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(B, best[..., None, None], axis=-1)[..., 0]

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
-_PARK = 1e4  # parked coordinate for masked points
+_PARK = 3e4        # parked coordinate for masked targets (= pallas_knn)
+_VALID_CUTOFF = 1e4  # any true neighbor is closer than this
 
 
 def _nn_kernel(src_ref, tgt_ref, val_ref, grp_ref, *, tgt_tile: int):
@@ -129,5 +130,12 @@ def pallas_nearest_neighbors(
     idx = group * 128 + lane.astype(jnp.int32)
     idx = idx[:n]
     d2 = best[:n]
+    # a parked masked target (or a padded column) can still be the argmin
+    # when the target layer is empty/sparse: sentinel it and clamp the
+    # index into [0, M) so downstream gathers stay in-bounds (same
+    # contract as pallas_knn / matching.nearest_neighbors)
+    invalid = d2 > _VALID_CUTOFF**2
+    d2 = jnp.where(invalid, _BIG, d2)
+    idx = jnp.where(invalid, 0, jnp.minimum(idx, m - 1))
     d2 = jnp.where(src_mask > 0.5, d2, _BIG)
     return idx, jnp.sqrt(jnp.maximum(d2, 0.0))

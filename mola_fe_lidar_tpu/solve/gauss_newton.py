@@ -33,8 +33,12 @@ class GNResult(NamedTuple):
 
 
 def solve_normal_equations(A: jax.Array, b: jax.Array, damping: float = 1e-6) -> jax.Array:
-    """Solve (A + λ diag(A)) δ = b — tiny Levenberg damping keeps
-    rank-deficient neighborhoods (e.g. single-plane scenes) finite."""
+    """Solve (A + λ·max(diag(A))·I) δ = b — tiny UNIFORM Levenberg damping
+    (scaled by the largest diagonal entry, floored at 1) keeps
+    rank-deficient neighborhoods (e.g. single-plane scenes) finite.
+    Deliberately not Marquardt per-axis damping: on degenerate systems the
+    weak axes have ~0 curvature, and per-axis scaling would leave them
+    undamped."""
     diag = jnp.diagonal(A, axis1=-2, axis2=-1)
     Ad = A + damping * jnp.eye(A.shape[-1], dtype=A.dtype) * jnp.maximum(
         diag.max(axis=-1)[..., None, None], 1.0

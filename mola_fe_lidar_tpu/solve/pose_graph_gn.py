@@ -20,10 +20,13 @@ TPU-first design:
 * The normal system is a dense ``[6N,6N]`` matrix assembled by 6x6 block
   scatter-adds — at SLAM-front-end graph sizes (N <= a few hundred KFs)
   a dense solve on the MXU beats any sparse bookkeeping.
-* Gauge freedom fixed by a strong prior on node 0 (padding-friendly; no
-  row elimination, shapes stay static).
-* LM damping with accept/reject steps via ``lax.cond`` — a rejected step
-  re-solves with 10x damping instead of diverging on a bad loop closure.
+* Gauge freedom fixed STRUCTURALLY: node 0's rows/cols are zeroed and its
+  diagonal set to identity via a DOF mask (shapes stay static; a strong
+  prior was tried and rejected — ~1e9 diagonal entries destroy f32 solve
+  accuracy, see ``_assemble``).
+* LM damping with masked accept/reject steps (``jnp.where`` over the
+  whole state) — a rejected step keeps the poses and raises the damping
+  10x instead of diverging on a bad loop closure.
 
 Precision: the solve and all residual einsums pin
 ``precision="highest"`` (metric-space invariant, CLAUDE.md).

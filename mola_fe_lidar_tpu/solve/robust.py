@@ -49,11 +49,19 @@ ROBUST_KERNELS = {
 }
 
 
-def robust_weights(residuals: jax.Array, kernel: str, param: float) -> jax.Array:
-    """IRLS weight ψ(r)/r for the named kernel (static choice)."""
+def robust_weights(residuals: jax.Array, kernel: str, param: float,
+                   scale: float = 1.0) -> jax.Array:
+    """IRLS weight ψ(r)/r for the named kernel (static choice).
+
+    ``scale`` sharpens the kernel by pre-scaling residuals with √scale —
+    for Cauchy this is exactly ``1 / (1 + scale·(r/param)²)``, the algebra
+    of the reference config's ``robust_kernel_scale`` knob
+    (reference params/icp-settings-regular.yaml:21, default 400.0 there);
+    ``scale=1`` leaves the kernel at its nominal width ``param``."""
     if kernel not in ROBUST_KERNELS:
         raise ValueError(f"unknown robust kernel {kernel!r}; have {sorted(ROBUST_KERNELS)}")
-    return ROBUST_KERNELS[kernel](residuals, param)
+    r = residuals if scale == 1.0 else residuals * (scale ** 0.5)
+    return ROBUST_KERNELS[kernel](r, param)
 
 
 def scale_outlier_weights(

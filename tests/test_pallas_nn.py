@@ -69,3 +69,17 @@ class TestPallasNNCompiled:
         ref = matching.nearest_neighbors(src, sm, tgt, tm)
         agree = float(jnp.mean((idx == ref.idx).astype(jnp.float32)))
         assert agree > 0.999
+
+
+class TestEmptyTargetContract:
+    def test_empty_target_layer_sentineled(self, rng, interp):
+        """All-masked target: parked points must NOT win as valid matches —
+        dist gets the ~1e15 sentinel and idx stays in [0, M) (the contract
+        pallas_knn already enforces; review finding)."""
+        src, tgt = clouds(rng, n=256, m=512)
+        sm = jnp.ones(src.shape[0])
+        tm = jnp.zeros(tgt.shape[0])
+        idx, dist = pnn.pallas_nearest_neighbors(src, sm, tgt, tm,
+                                                 src_block=256, tgt_tile=512)
+        assert bool(jnp.all(dist > 1e9))
+        assert bool(jnp.all((idx >= 0) & (idx < tgt.shape[0])))

@@ -503,3 +503,69 @@ class TestMapBuildReseedHandoff:
         assert fake.state.local_map == {"tag": "b"}
         assert fake._map_build_inflight is False
         assert fake._map_build_dirty is False
+
+
+class TestCollinearNeighborhoodGate:
+    def test_line_has_no_defined_normal(self, rng):
+        """A collinear kNN neighborhood (pole/edge) passes the e0<=thr*e2
+        planar gate but its normal is undefined — smallest_eigenvector_3x3
+        falls back to +z (ALONG the line) and, ungated, would inject a
+        fabricated full-weight plane constraint (review finding)."""
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.ops import eigen3
+
+        # exact rank-1 covariance (line): extraction matrix vanishes
+        v = np.array([0.0, 0.0, 1.0], np.float32)
+        cov = jnp.asarray(0.12 * np.outer(v, v)[None])
+        evs = eigen3.sym_eigenvalues_3x3(cov)
+        _, ok = eigen3.smallest_eigenvector_3x3(cov, evs, return_valid=True)
+        assert not bool(ok[0])
+
+        # genuine plane patch (noise floor in e0)
+        pts = rng.normal(0, 1.0, (64, 3)).astype(np.float32)
+        pts[:, 2] = rng.normal(0, 0.01, 64)
+        d = pts - pts.mean(0)
+        cov = jnp.asarray((d.T @ d / len(d))[None])
+        evs = eigen3.sym_eigenvalues_3x3(cov)
+        n, ok = eigen3.smallest_eigenvector_3x3(cov, evs, return_valid=True)
+        assert bool(ok[0])
+        assert abs(float(n[0, 2])) > 0.99  # the true normal, not a fallback
+
+    def test_planarity_attr_zero_on_lines(self, rng):
+        """FilterNormals-style planarity must be ~0 for collinear
+        neighborhoods (1 - e0/e1 on a line compares two noise terms and
+        can fabricate a full-confidence 1.0; eigen3.planarity_score_3x3
+        gates line-like spectra to 0)."""
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.cloud import from_points
+        from mola_fe_lidar_tpu.filters.pipeline import _attach_normals_knn
+
+        # a dense vertical pole + a dense ground plane
+        pole = np.zeros((64, 3), np.float32)
+        pole[:, 2] = np.linspace(0, 3.0, 64)
+        plane = rng.uniform(-3, 3, (192, 3)).astype(np.float32)
+        plane[:, 2] = 0.0
+        plane[:, :2] += 10.0  # separate so kNN doesn't mix
+        pts = np.concatenate([pole, plane])
+        pc = from_points(pts, capacity=256)
+        out = _attach_normals_knn(pc.xyz, pc.mask, 8)
+        pl_score = np.asarray(out.attrs["planarity"])[:, 0]
+        assert pl_score[:64].max() < 0.5, "pole points scored as planes"
+        assert np.median(pl_score[64:256]) > 0.9, "plane points lost score"
+
+
+class TestRobustKernelScale:
+    def test_cauchy_scale_algebra(self):
+        """robust_kernel_scale pre-scales residuals by sqrt(scale): for
+        Cauchy, w = 1/(1 + scale*(r/c)^2) (was parsed-but-ignored)."""
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.solve.robust import robust_weights
+
+        r = jnp.asarray([0.0, 0.05, 0.1, 0.4])
+        w = robust_weights(r, "cauchy", 0.1, scale=400.0)
+        expect = 1.0 / (1.0 + 400.0 * (np.asarray(r) / 0.1) ** 2)
+        np.testing.assert_allclose(np.asarray(w), expect, rtol=1e-5)
+        # scale=1 is the nominal kernel
+        w1 = robust_weights(r, "cauchy", 0.1)
+        np.testing.assert_allclose(
+            np.asarray(w1), 1.0 / (1.0 + (np.asarray(r) / 0.1) ** 2), rtol=1e-5)
