@@ -61,11 +61,17 @@ def from_points(
     attrs: Optional[Dict[str, np.ndarray]] = None,
     pad_far: float = 1e6,
 ) -> PointCloud:
-    """Pad/truncate an ``[n,3]`` array to a fixed-capacity cloud.
+    """Pad (or uniformly subsample) an ``[n,3]`` array to a fixed-capacity
+    cloud.
 
     Padding points are parked at ``pad_far`` (far from any real geometry) so
     even an unmasked distance computation can't produce spurious matches —
     defense in depth on top of the mask.
+
+    Over-capacity input is hash-uniformly subsampled, NEVER truncated in
+    input order: scans arrive azimuth/beam-ordered and a ``[:capacity]``
+    slab would keep a spatial wedge and silently bias registration (the
+    repo-wide invariant; see ``cloud.voxel.hash_subsample_np``).
     """
     points = np.asarray(points, dtype=np.float32)
     n = points.shape[0]
@@ -73,15 +79,22 @@ def from_points(
     out = np.full((cap, 3), pad_far, dtype=np.float32)
     m = np.zeros((cap,), dtype=np.float32)
     k = min(n, cap)
-    out[:k] = points[:k]
+    if n > cap:
+        from .voxel import hash_subsample_np
+        sel = np.sort(hash_subsample_np(np.arange(n), cap))
+    else:
+        sel = slice(None)
+    out[:k] = points[sel][:k]
     m[:k] = 1.0
     out_attrs = {}
     if attrs:
         for name, a in attrs.items():
             a = np.asarray(a, dtype=np.float32)
-            a = a.reshape(n, -1)
+            # n=0: reshape(0,-1) raises; keep the trailing dim (or 1)
+            a = (a.reshape(n, -1) if n
+                 else a.reshape(0, a.shape[-1] if a.ndim >= 2 else 1))
             buf = np.zeros((cap, a.shape[1]), dtype=np.float32)
-            buf[:k] = a[:k]
+            buf[:k] = a[sel][:k]
             out_attrs[name] = jnp.asarray(buf)
     return PointCloud(jnp.asarray(out), jnp.asarray(m), out_attrs)
 

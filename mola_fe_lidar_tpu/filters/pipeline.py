@@ -509,8 +509,14 @@ class FilterDecimateToCount:
 
     def __call__(self, mm: MetricMap) -> MetricMap:
         pc = mm[self.input_layer]
-        m, pts = _compact_uniform(pc.mask, self.count, pc.xyz)
+        # attrs ride along: this filter often runs FIRST (odometry inserts
+        # it at position 0 for decimate_to_point_count) and dropping attrs
+        # here would silently disable downstream FilterDeskew ('time') and
+        # lose intensities (review finding)
+        names = sorted(pc.attrs)
+        m, pts, *vals = _compact_uniform(pc.mask, self.count, pc.xyz,
+                                         *(pc.attrs[k] for k in names))
         pts = jnp.where(m[:, None] > 0.5, pts, 1e6)
         mm = dict(mm)
-        mm[self.output_layer] = PointCloud(pts, m, {})
+        mm[self.output_layer] = PointCloud(pts, m, dict(zip(names, vals)))
         return mm

@@ -364,7 +364,6 @@ class LidarOdometry(FrontEndBase):
         self._pending_lock = threading.Lock()
         self._nearby_inflight = 0
         self._drops = 0
-        self._fused_cache: Dict[AlignKind, Any] = {}
         # per-AlignKind fused-path health: one kind failing to trace must not
         # degrade the others, and non-trace errors (config typos surfacing as
         # KeyError/AttributeError/...) propagate instead of silently slowing
@@ -459,7 +458,6 @@ class LidarOdometry(FrontEndBase):
         p.max_sensor_rot_rate = float(
             g("max_sensor_rot_rate", p.max_sensor_rot_rate))
         p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
-        self._fused_cache = {}
 
         # The three ICP cases (reference :122-128). Each case is a tuple of
         # coarse-to-fine stages (the reference documents ICP_case as a
@@ -986,14 +984,19 @@ class LidarOdometry(FrontEndBase):
                 step_t, step_r = step_t * ratio, step_r * ratio
                 solver = dataclasses.replace(
                     solver, max_iterations=p.local_map_gn_inner)
-            out.append(dataclasses.replace(
-                s,
+            # module-level cand-motion knobs override only when SET (> 0):
+            # 0.0 means "no conditional refresh configured here", and a
+            # stage's own YAML candidateCacheMinMotion* must survive it
+            repl = dict(
                 matchers=matchers,
                 solver=solver,
-                cand_refresh_min_trans=p.local_map_cand_motion_trans,
-                cand_refresh_min_rot=p.local_map_cand_motion_rot,
                 min_abs_step_trans=step_t,
-                min_abs_step_rot=step_r))
+                min_abs_step_rot=step_r)
+            if p.local_map_cand_motion_trans > 0:
+                repl["cand_refresh_min_trans"] = p.local_map_cand_motion_trans
+            if p.local_map_cand_motion_rot > 0:
+                repl["cand_refresh_min_rot"] = p.local_map_cand_motion_rot
+            out.append(dataclasses.replace(s, **repl))
         return tuple(out)
 
     def _get_fused_step(self, kind: AlignKind, for_map: bool = False):
@@ -1359,10 +1362,13 @@ class LidarOdometry(FrontEndBase):
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
             min_goodness = p.min_icp_goodness_lc
         else:
+            # same patched stages as the batch path (_nearby_stages applies
+            # the candidate cache) so the per-pair fallback makes identical
+            # edge decisions (review finding)
             out = self.run_one_icp(ICPInput(
                 align_kind=AlignKind.NEARBY_ALIGN, to_id=other_kf, from_id=cur_kf,
                 to_pc=oth_pc, from_pc=cur_pc, init_guess_to_wrt_from=init,
-                debug_str="nearby"))
+                debug_str="nearby"), stages=self._nearby_stages())
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
             min_goodness = p.min_icp_goodness
 

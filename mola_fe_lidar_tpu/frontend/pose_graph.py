@@ -82,9 +82,11 @@ class PoseGraph:
         self._adj[b].append(idx)
 
     def has_edge(self, a: int, b: int) -> bool:
+        # scan only a's incident edges (the adjacency index exists; a full
+        # O(E) scan ran per candidate per scan under the module state lock)
         return any(
-            (e.a == a and e.b == b) or (e.a == b and e.b == a)
-            for e in self.edges
+            self.edges[i].a == b or self.edges[i].b == b
+            for i in self._adj.get(a, ())
         )
 
     def neighbors(self, node: int) -> Set[int]:

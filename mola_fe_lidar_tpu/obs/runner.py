@@ -88,10 +88,12 @@ def build_module(cfg: Optional[dict], backend=None, worldmodel=None):
 
 def estimated_trajectory(module: LidarOdometry) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """KF poses in the first-KF frame from the module's local pose graph."""
+    # hold the lock for the WHOLE Dijkstra: a straggler nearby/LC worker
+    # (drain()'s wait is bounded) may insert_edge concurrently, and the
+    # native graph's edge vector can reallocate mid-traversal
     with module._state_lock:
         graph = module.state.local_pose_graph
-        root = graph.root
-    poses, _ = graph.dijkstra_nodes_estimate(root)
+        poses, _ = graph.dijkstra_nodes_estimate(graph.root)
     return poses
 
 
@@ -216,13 +218,34 @@ def run_replay(observations, cfg: Optional[dict] = None,
 def save_trajectory_tum(path: str, kf_poses, backend) -> None:
     """TUM format: timestamp tx ty tz qx qy qz qw."""
     def rot_to_quat(R):
-        w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
-        if w > 1e-6:
-            x = (R[2, 1] - R[1, 2]) / (4 * w)
-            y = (R[0, 2] - R[2, 0]) / (4 * w)
-            z = (R[1, 0] - R[0, 1]) / (4 * w)
+        # Shepperd's method (largest diagonal pivot): stable at ~180 deg,
+        # where the naive trace form degenerates to the zero quaternion
+        # (any out-and-back trajectory has such keyframes; review finding)
+        t = R[0, 0] + R[1, 1] + R[2, 2]
+        if t > max(R[0, 0], R[1, 1], R[2, 2]):
+            s = 2.0 * np.sqrt(1.0 + t)
+            w = 0.25 * s
+            x = (R[2, 1] - R[1, 2]) / s
+            y = (R[0, 2] - R[2, 0]) / s
+            z = (R[1, 0] - R[0, 1]) / s
+        elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+            s = 2.0 * np.sqrt(max(0.0, 1.0 + R[0, 0] - R[1, 1] - R[2, 2]))
+            w = (R[2, 1] - R[1, 2]) / s
+            x = 0.25 * s
+            y = (R[0, 1] + R[1, 0]) / s
+            z = (R[0, 2] + R[2, 0]) / s
+        elif R[1, 1] >= R[2, 2]:
+            s = 2.0 * np.sqrt(max(0.0, 1.0 + R[1, 1] - R[0, 0] - R[2, 2]))
+            w = (R[0, 2] - R[2, 0]) / s
+            x = (R[0, 1] + R[1, 0]) / s
+            y = 0.25 * s
+            z = (R[1, 2] + R[2, 1]) / s
         else:
-            x, y, z = 0.0, 0.0, 0.0
+            s = 2.0 * np.sqrt(max(0.0, 1.0 + R[2, 2] - R[0, 0] - R[1, 1]))
+            w = (R[1, 0] - R[0, 1]) / s
+            x = (R[0, 2] + R[2, 0]) / s
+            y = (R[1, 2] + R[2, 1]) / s
+            z = 0.25 * s
         return x, y, z, w
 
     with open(path, "w") as f:

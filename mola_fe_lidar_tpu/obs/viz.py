@@ -83,10 +83,11 @@ def export_run(out_dir: str, module, max_keyframes: int = 50) -> None:
 
     d = Path(out_dir)
     d.mkdir(parents=True, exist_ok=True)
+    # lock spans the traversal: concurrent insert_edge can reallocate the
+    # native graph's edge vector mid-Dijkstra (see runner.estimated_trajectory)
     with module._state_lock:
         graph = module.state.local_pose_graph
-        root = graph.root
-    poses, _ = graph.dijkstra_nodes_estimate(root)
+        poses, _ = graph.dijkstra_nodes_estimate(graph.root)
     export_trajectory(str(d / "trajectory.ply"), poses)
     wm = module.worldmodel
     if wm is None:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import threading
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -52,23 +52,29 @@ class Profiler:
         self.enabled = enabled
         self._lock = threading.Lock()
         self._stats: Dict[str, _Stat] = defaultdict(_Stat)
-        self._open: Dict[str, float] = {}
+        # FIFO of open enter() timestamps per scope: a scope may be entered
+        # several times before any leave() (e.g. the queue-latency span is
+        # entered per ENQUEUED scan in the sensor thread and left in the
+        # worker — deliberately cross-thread, so keying by thread would
+        # break it; a single slot per name lost all but the newest sample)
+        self._open: Dict[str, deque] = defaultdict(deque)
         self._counters: Dict[str, _Stat] = defaultdict(_Stat)
 
     # -- scoped / manual timing ------------------------------------------
     def enter(self, scope: str) -> None:
         if self.enabled:
             with self._lock:
-                self._open[scope] = time.perf_counter()
+                self._open[scope].append(time.perf_counter())
 
     def leave(self, scope: str) -> None:
         if not self.enabled:
             return
         now = time.perf_counter()
         with self._lock:
-            t0 = self._open.pop(scope, None)
-            if t0 is not None:
-                self._stats[scope].add(now - t0)
+            q = self._open.get(scope)
+            if q:
+                # FIFO: the oldest open enter() closes first (queue order)
+                self._stats[scope].add(now - q.popleft())
 
     def record(self, scope: str, seconds: float) -> None:
         if self.enabled:

@@ -569,3 +569,107 @@ class TestRobustKernelScale:
         w1 = robust_weights(r, "cauchy", 0.1)
         np.testing.assert_allclose(
             np.asarray(w1), 1.0 / (1.0 + (np.asarray(r) / 0.1) ** 2), rtol=1e-5)
+
+
+class TestFromPointsOverCapacity:
+    def test_uniform_not_slab(self, rng):
+        """from_points must hash-subsample over-capacity input, never keep
+        the first-k slab of an azimuth/beam-ordered scan (review finding:
+        the default KITTI runner config fed 120k-pt scans into an 8192
+        generator capacity)."""
+        pts = np.zeros((10_000, 3), np.float32)
+        pts[:, 0] = np.arange(10_000)  # "azimuth-ordered": x encodes order
+        t = np.arange(10_000, dtype=np.float32)[:, None] / 10_000
+        pc = from_points(pts, capacity=1024, attrs={"time": t})
+        xs = np.asarray(pc.xyz)[np.asarray(pc.mask) > 0.5, 0]
+        hist, _ = np.histogram(xs, bins=10, range=(0, 10_000))
+        assert hist.min() > 50, "kept points bunch in a slab"
+        # attrs subsampled consistently with xyz (time == x/10000 here)
+        tt = np.asarray(pc.attrs["time"])[np.asarray(pc.mask) > 0.5, 0]
+        np.testing.assert_allclose(tt, xs / 10_000, atol=1e-6)
+
+    def test_empty_with_attrs(self):
+        """0-point observation with keep_time enabled must not crash
+        (reshape(0,-1) raised; the scan then missed the degenerate-scan
+        path)."""
+        pc = from_points(np.zeros((0, 3), np.float32), capacity=256,
+                         attrs={"time": np.zeros((0, 1), np.float32)})
+        assert int(np.asarray(pc.mask).sum()) == 0
+        assert pc.attrs["time"].shape == (256, 1)
+
+
+class TestQuatNearPi:
+    def test_180_deg_yaw_round_trips(self):
+        from mola_fe_lidar_tpu.obs.runner import save_trajectory_tum
+        import io, types
+
+        R = np.array([[-1, 0, 0], [0, -1, 0], [0, 0, 1]], np.float64)
+        buf = io.StringIO()
+        # drive through the public writer: one pose at 180 deg yaw
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "t.tum")
+            backend = types.SimpleNamespace(keyframes={})
+            save_trajectory_tum(path, {0: (R, np.zeros(3))}, backend)
+            vals = [float(v) for v in open(path).read().split()]
+        q = np.array(vals[4:8])  # qx qy qz qw
+        assert abs(np.linalg.norm(q) - 1.0) < 1e-9, "degenerate quaternion"
+        # reconstruct R from q and compare
+        x, y, z, w = q
+        Rq = np.array([
+            [1 - 2*(y*y + z*z), 2*(x*y - z*w), 2*(x*z + y*w)],
+            [2*(x*y + z*w), 1 - 2*(x*x + z*z), 2*(y*z - x*w)],
+            [2*(x*z - y*w), 2*(y*z + x*w), 1 - 2*(x*x + y*y)],
+        ])
+        np.testing.assert_allclose(Rq, R, atol=1e-9)
+
+
+class TestProfilerQueuedSpans:
+    def test_fifo_multi_enter(self):
+        """Queue-latency spans enter() N times before any leave() (cross-
+        thread by design); every sample must be kept, FIFO-matched."""
+        import time as _time
+        from mola_fe_lidar_tpu.utils.profiler import Profiler
+
+        p = Profiler()
+        p.enter("q"); _time.sleep(0.02); p.enter("q"); _time.sleep(0.02)
+        p.leave("q"); p.leave("q")
+        st = p.stats()["q"]
+        assert st["count"] == 2
+        assert st["max_s"] >= 0.039  # the FIRST enter spans both sleeps
+        assert st["min_s"] < 0.035
+
+
+class TestHasEdgeAdjacency:
+    def test_matches_full_scan(self):
+        from mola_fe_lidar_tpu.frontend.pose_graph import PoseGraph
+
+        g = PoseGraph()
+        for i in range(5):
+            g.insert_node(i)
+        g.insert_edge(0, 1, np.eye(3), np.zeros(3))
+        g.insert_edge(2, 3, np.eye(3), np.zeros(3))
+        assert g.has_edge(0, 1) and g.has_edge(1, 0)
+        assert g.has_edge(2, 3) and not g.has_edge(0, 2)
+        assert not g.has_edge(4, 4)
+
+
+class TestDecimateToCountKeepsAttrs:
+    def test_time_attr_survives(self, rng):
+        from mola_fe_lidar_tpu.filters.pipeline import FilterDecimateToCount
+
+        pts = rng.uniform(-10, 10, (2048, 3)).astype(np.float32)
+        t = np.linspace(0, 1, 2048, dtype=np.float32)[:, None]
+        mm = {"raw": from_points(pts, capacity=2048, attrs={"time": t})}
+        out = FilterDecimateToCount(count=512)(mm)["raw"]
+        m = np.asarray(out.mask) > 0.5
+        assert "time" in out.attrs, "attrs dropped (deskew silently disabled)"
+        assert int(m.sum()) == 512
+        # attr rows still correspond to their points: time was monotone in
+        # input order, and xyz rows must carry their own time values
+        kept_xyz = np.asarray(out.xyz)[m]
+        kept_t = np.asarray(out.attrs["time"])[m, 0]
+        # find each kept point's original index by value match on x
+        orig = {float(x): i for i, x in enumerate(pts[:, 0])}
+        idxs = np.array([orig[float(x)] for x in kept_xyz[:, 0]])
+        np.testing.assert_allclose(kept_t, t[idxs, 0], atol=1e-6)
