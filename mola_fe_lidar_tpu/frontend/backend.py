@@ -153,12 +153,18 @@ class OptimizingBackend(InMemoryBackend):
     #: capacity buckets (nodes and edges round up to a multiple of this)
     BUCKET = 64
 
-    def optimized_poses(self, iters: int = 30):
+    def optimized_poses(self, iters: int = 30, robust: str = "none",
+                        robust_delta: float = 2.0):
         """Return {kf_id: (R 3x3 f64, t 3 f64)} after global LM.
 
         Initial values come from composing factors in insertion order
         (odometry factors arrive first for each new node, so every node
         is reachable when its first factor lands).
+
+        ``robust`` ("huber"/"cauchy") applies the IRLS M-estimator to
+        NON-consecutive edges only (|kf_to - kf_from| > 1: nearby/loop-
+        closure hypotheses) — odometry edges stay trusted, mirroring how
+        a gtsam back-end attaches robust noise models to loop closures.
         """
         import numpy as np
 
@@ -211,16 +217,20 @@ class OptimizingBackend(InMemoryBackend):
         w_trans = np.zeros(e_cap, np.float32)
         w_rot = np.zeros(e_cap, np.float32)
         e_mask = np.zeros(e_cap, np.float32)
+        e_robust = np.zeros(e_cap, np.float32)
         for e, (a, b, R, t, wt, wr) in enumerate(edges):
             e_from[e], e_to[e] = index[a], index[b]
             rel_R[e], rel_t[e] = R, t
             w_trans[e], w_rot[e] = wt, wr
             e_mask[e] = 1.0
+            e_robust[e] = 1.0 if abs(b - a) > 1 else 0.0
         R_opt, t_opt, _ = optimize_pose_graph(
             jnp.asarray(nodes_R), jnp.asarray(nodes_t),
             jnp.asarray(node_mask), jnp.asarray(e_from), jnp.asarray(e_to),
             jnp.asarray(rel_R), jnp.asarray(rel_t), jnp.asarray(w_trans),
-            jnp.asarray(w_rot), jnp.asarray(e_mask), iters=iters)
+            jnp.asarray(w_rot), jnp.asarray(e_mask), iters=iters,
+            robust=robust, robust_delta=robust_delta,
+            e_robust=jnp.asarray(e_robust))
         R_opt = np.asarray(R_opt, np.float64)
         t_opt = np.asarray(t_opt, np.float64)
         from ..geometry import se3_np

@@ -24,7 +24,7 @@ from ..frontend import InMemoryBackend, LidarOdometry, OptimizingBackend, WorldM
 from ..frontend.module_base import MODULE_REGISTRY
 from ..utils.config import load_yaml
 from ..utils.logging import get_logger
-from .metrics import ate_rmse, rpe_rmse
+from .metrics import ate_rmse, kitti_segment_errors, rpe_rmse
 
 log = get_logger("runner")
 
@@ -119,7 +119,8 @@ def per_scan_trajectory(backend, kf_poses):
 
 
 def run_replay(observations, cfg: Optional[dict] = None,
-               gt_poses=None, realtime: bool = False, pgo: bool = False):
+               gt_poses=None, realtime: bool = False, pgo: bool = False,
+               pgo_robust: str = "none"):
     """Replay ``observations`` through the front-end.
 
     ``pgo=True`` additionally runs the device-resident pose-graph
@@ -147,7 +148,8 @@ def run_replay(observations, cfg: Optional[dict] = None,
     wall = time.perf_counter() - t0
 
     kf_poses = estimated_trajectory(module)
-    kf_pgo = backend.optimized_poses() if pgo and backend.factors else None
+    kf_pgo = (backend.optimized_poses(robust=pgo_robust)
+              if pgo and backend.factors else None)
     result = {
         "n_scans": len(observations) if hasattr(observations, "__len__") else None,
         "n_keyframes": len(backend.keyframes),
@@ -191,6 +193,13 @@ def run_replay(observations, cfg: Optional[dict] = None,
             rpe_t, rpe_r = rpe_rmse(est_sel, gt_sel)
             result["rpe_trans_scan"] = rpe_t
             result["rpe_rot_scan"] = rpe_r
+            # the official KITTI drift metric (segment-averaged), the
+            # number published KITTI leaderboard entries mean by "drift"
+            t_rel, r_rel, nseg = kitti_segment_errors(est_sel, gt_sel)
+            if nseg:
+                result["kitti_t_rel_pct"] = t_rel
+                result["kitti_r_rel_deg_per_m"] = r_rel
+                result["kitti_segments"] = nseg
         result["scan_poses"] = scan_traj
 
         if kf_pgo:
@@ -212,6 +221,9 @@ def run_replay(observations, cfg: Optional[dict] = None,
                     est_sel.append(pose)
             if len(gt_sel) >= 3:
                 result["ate_rmse_scan_pgo"] = ate_rmse(est_sel, gt_sel)
+                t_rel, _, nseg = kitti_segment_errors(est_sel, gt_sel)
+                if nseg:
+                    result["kitti_t_rel_pct_pgo"] = t_rel
     return result
 
 
@@ -276,6 +288,11 @@ def main(argv=None) -> int:
                     help="globally optimize the keyframe pose graph "
                          "(device LM over the factor stream) and report "
                          "*_pgo metrics")
+    ap.add_argument("--pgo-robust", choices=["none", "huber", "cauchy"],
+                    default="none",
+                    help="IRLS M-estimator on non-odometry edges during "
+                         "--pgo (the gtsam robust-noise-model analogue; "
+                         "cauchy effectively disables false loop closures)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the 8-device virtual CPU mesh (smokes; "
                          "same dance as tests/conftest.py)")
@@ -301,7 +318,8 @@ def main(argv=None) -> int:
         observations = list(seq)
         gt = seq.gt_poses_velo
 
-    res = run_replay(observations, cfg, gt_poses=gt, pgo=args.pgo)
+    res = run_replay(observations, cfg, gt_poses=gt, pgo=args.pgo,
+                 pgo_robust=args.pgo_robust)
     summary = {k: v for k, v in res.items()
                if k in ("n_scans", "n_keyframes", "n_factors", "wall_s",
                         "ate_rmse", "rpe_trans", "rpe_rot",

@@ -142,7 +142,7 @@ def _retract(nodes: se3.Pose, delta: jax.Array, node_mask) -> se3.Pose:
                     jnp.where(m > 0, newt, nodes.t))
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "robust"))
 def optimize_pose_graph(
     nodes_R: jax.Array,   # f32[N,3,3] initial poses (world frame)
     nodes_t: jax.Array,   # f32[N,3]
@@ -155,12 +155,22 @@ def optimize_pose_graph(
     w_rot: jax.Array,     # f32[E] 1/sigma^2 (radians)
     e_mask: jax.Array,    # f32[E] 1=real edge
     iters: int = 20,
+    robust: str = "none",            # "none" | "huber" | "cauchy"
+    robust_delta: float = 2.0,       # kernel width in whitened-chi units
+    e_robust: jax.Array | None = None,  # f32[E] 1=apply kernel (None=all)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """LM over the padded pose graph; returns (R [N,3,3], t [N,3], cost).
 
     Padded edges MUST point at node 0 with identity rel so their (masked)
     residuals are finite; their weight rows are zeroed by ``e_mask``.
-    """
+
+    ``robust`` applies an IRLS M-estimator per edge (the gtsam
+    ``robustModel`` analogue the MOLA back-end would use): each LM step
+    re-weights edge ``e`` by ``psi(chi_e)/chi_e`` of its whitened residual
+    norm ``chi_e = sqrt(r_e^T W r_e)``, so a single WRONG loop closure is
+    soft-disabled instead of bending the whole trajectory. ``e_robust``
+    restricts the kernel (typically to non-odometry edges: odometry is
+    trusted, loop closures are hypotheses)."""
     nodes = se3.Pose(nodes_R, nodes_t)
     rel = se3.Pose(rel_R, rel_t)
     w_diag = jnp.concatenate([
@@ -170,10 +180,26 @@ def optimize_pose_graph(
     n = nodes_t.shape[0]
     free = node_mask.at[0].set(0.0)  # gauge node never moves
     dof_mask = jnp.repeat(free, 6)
+    if e_robust is None:
+        e_robust = jnp.ones_like(e_mask)
+
+    def _irls_edge_weights(nodes):
+        if robust == "none":
+            return e_mask
+        r, _ = _edge_residuals(nodes, e_from, e_to, rel)
+        chi = jnp.sqrt(jnp.maximum(jnp.sum(w_diag * r * r, axis=-1), 1e-12))
+        if robust == "huber":
+            w = jnp.minimum(1.0, robust_delta / chi)
+        elif robust == "cauchy":
+            w = 1.0 / (1.0 + (chi / robust_delta) ** 2)
+        else:
+            raise ValueError(f"unknown robust kernel {robust!r}")
+        return e_mask * jnp.where(e_robust > 0.5, w, 1.0)
 
     def step(carry, _):
         nodes, lam = carry
-        H, b, cost = _assemble(nodes, e_from, e_to, rel, w_diag, e_mask,
+        e_w = _irls_edge_weights(nodes)
+        H, b, cost = _assemble(nodes, e_from, e_to, rel, w_diag, e_w,
                                dof_mask)
 
         def try_step(lam_try):
@@ -186,7 +212,9 @@ def optimize_pose_graph(
             delta = jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(Hd), -b).reshape(n, 6)
             cand = _retract(nodes, delta, free)
-            return cand, _cost_only(cand, e_from, e_to, rel, w_diag, e_mask)
+            # accept/reject compares like-for-like: the IRLS weights are
+            # frozen within the step (standard IRLS-LM)
+            return cand, _cost_only(cand, e_from, e_to, rel, w_diag, e_w)
 
         cand, new_cost = try_step(lam)
         # reject -> keep poses, raise damping; accept -> lower damping

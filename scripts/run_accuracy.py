@@ -144,7 +144,9 @@ def main():
             "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",
             "ate_rmse", "rpe_trans", "rpe_rot",
             "ate_rmse_scan", "rpe_trans_scan", "rpe_rot_scan",
-            "ate_rmse_pgo", "ate_rmse_scan_pgo") if k in res}
+            "kitti_t_rel_pct", "kitti_r_rel_deg_per_m", "kitti_segments",
+            "ate_rmse_pgo", "ate_rmse_scan_pgo",
+            "kitti_t_rel_pct_pgo") if k in res}
         row["scans_per_sec"] = res["n_scans"] / max(res["wall_s"], 1e-9)
         # trajectory length for percentage-style drift numbers
         length = sum(float(np.linalg.norm(gt[i + 1][1] - gt[i][1]))

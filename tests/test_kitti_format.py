@@ -79,3 +79,46 @@ class TestKittiFormat:
         res = run_replay(list(seq), odom_test_cfg(), gt_poses=seq.gt_poses_velo)
         assert res["n_keyframes"] >= 2
         assert res.get("ate_rmse", 99) < 0.5
+
+
+class TestKittiSegmentErrors:
+    """The official KITTI devkit drift metric (segment-averaged)."""
+
+    def _traj(self, n, step=1.0, yaw_rate=0.0, drift=0.0):
+        import numpy as np
+        poses, yaw, t = [], 0.0, np.zeros(3)
+        for i in range(n):
+            R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                          [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
+            poses.append((R, t.copy()))
+            t = t + R @ np.array([step * (1.0 + drift), 0, 0])
+            yaw += yaw_rate
+        return poses
+
+    def test_perfect_trajectory_zero_drift(self):
+        import numpy as np
+        from mola_fe_lidar_tpu.obs.metrics import kitti_segment_errors
+
+        gt = self._traj(400, yaw_rate=0.01)
+        t_rel, r_rel, n = kitti_segment_errors(gt, gt, lengths=(100, 200))
+        assert n > 0
+        assert abs(t_rel) < 1e-9 and abs(r_rel) < 1e-9
+
+    def test_constant_scale_drift_measured(self):
+        import numpy as np
+        from mola_fe_lidar_tpu.obs.metrics import kitti_segment_errors
+
+        gt = self._traj(400)            # straight line, 1 m/frame
+        est = self._traj(400, drift=0.02)  # 2% over-scale
+        t_rel, r_rel, n = kitti_segment_errors(est, gt, lengths=(100, 200))
+        assert n > 0
+        assert abs(t_rel - 2.0) < 0.1   # percent
+        assert r_rel < 1e-9
+
+    def test_too_short_returns_nan(self):
+        import numpy as np
+        from mola_fe_lidar_tpu.obs.metrics import kitti_segment_errors
+
+        gt = self._traj(50)  # 50 m < min length 100
+        t_rel, r_rel, n = kitti_segment_errors(gt, gt, lengths=(100,))
+        assert n == 0 and np.isnan(t_rel)

@@ -194,3 +194,80 @@ class TestOptimizingBackend:
         # --out export path reads them)
         assert set(res["kf_poses_pgo"]) == set(res["kf_poses"])
         res["module"].shutdown()
+
+
+class TestRobustPGO:
+    def test_wrong_loop_closure_soft_disabled(self, rng):
+        """A FALSE loop closure (identity rel between far-apart nodes) must
+        not bend the trajectory under the Huber/Cauchy IRLS kernels, while
+        plain L2 visibly distorts it (the gtsam robust-noise-model
+        analogue; kernel applies per-edge via e_robust)."""
+        init, gt, edges = _square_loop(rng, n=12, noise=0.02)
+        n = len(init)
+        # the false hypothesis: node 3 and node 9 "coincide" (they don't)
+        bad = (3, 9, np.eye(3), np.zeros(3), W_T, W_R)
+        all_edges = edges + [bad]
+        args = _pack(init, all_edges)
+        e_robust = np.zeros(len(all_edges), np.float32)
+        e_robust[-2] = 1.0  # the true LC
+        e_robust[-1] = 1.0  # the false LC
+        ate = lambda t_opt: float(np.sqrt(np.mean(np.sum(
+            (np.asarray(t_opt, np.float64)[:n]
+             - np.stack([t for _, t in gt])) ** 2, -1))))
+
+        _, t_l2, _ = optimize_pose_graph(*args, iters=40)
+        _, t_hub, _ = optimize_pose_graph(
+            *args, iters=40, robust="huber",
+            e_robust=jnp.asarray(e_robust))
+        _, t_cau, _ = optimize_pose_graph(
+            *args, iters=40, robust="cauchy",
+            e_robust=jnp.asarray(e_robust))
+        # reference: the clean graph without the false edge
+        _, t_ref, _ = optimize_pose_graph(*_pack(init, edges), iters=40)
+
+        assert ate(t_l2) > 3.0 * ate(t_ref), "L2 should visibly distort"
+        # Huber decays only linearly in the residual: a strong gross
+        # outlier is attenuated, not eliminated; Cauchy (quadratic decay)
+        # effectively disables it
+        assert ate(t_hub) < 0.75 * ate(t_l2)
+        assert ate(t_cau) < 1.5 * ate(t_ref) + 0.05
+
+    def test_robust_keeps_true_loop_closure_effective(self, rng):
+        """The kernel must not ALSO disable the correct loop closure: with
+        robust on and no outliers, the result matches plain L2."""
+        init, gt, edges = _square_loop(rng, n=10, noise=0.03)
+        args = _pack(init, edges)
+        e_robust = np.zeros(len(edges), np.float32)
+        e_robust[-1] = 1.0
+        _, t_l2, c_l2 = optimize_pose_graph(*args, iters=30)
+        _, t_hub, c_hub = optimize_pose_graph(
+            *args, iters=30, robust="huber",
+            e_robust=jnp.asarray(e_robust))
+        np.testing.assert_allclose(np.asarray(t_hub), np.asarray(t_l2),
+                                   atol=0.02)
+
+    def test_backend_robust_flag(self, rng):
+        from mola_fe_lidar_tpu.frontend.backend import (
+            FactorRelativePose3, OptimizingBackend, ProposeKFInput)
+        from mola_fe_lidar_tpu.geometry import se3
+
+        init, gt, edges = _square_loop(rng, n=8, noise=0.02)
+        be = OptimizingBackend()
+        for _ in range(len(init)):
+            be.add_keyframe(ProposeKFInput(0.0)).result()
+        for a, b, R, t, _, _ in edges:
+            be.add_factor(FactorRelativePose3(
+                kf_from=a, kf_to=b,
+                rel_pose=se3.Pose(jnp.asarray(R, jnp.float32),
+                                  jnp.asarray(t, jnp.float32)))).result()
+        # a false LC factor between distant keyframes
+        be.add_factor(FactorRelativePose3(
+            kf_from=1, kf_to=6, rel_pose=se3.Pose(
+                jnp.eye(3), jnp.zeros(3)))).result()
+        plain = be.optimized_poses()
+        rob = be.optimized_poses(robust="huber")
+        gt_t = np.stack([t for _, t in gt])
+        ate = lambda poses: float(np.sqrt(np.mean(np.sum(
+            np.stack([poses[i][1] for i in range(len(gt))]) - gt_t, -1) ** 2)))
+        assert ate(rob) < ate(plain)
+        be.shutdown()
