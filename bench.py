@@ -425,17 +425,17 @@ def bench_scaling(rng):
     rows = []
     stages = icp_coarse_to_fine()
 
-    @jax.jit
     def run_one(src, tgt, g):
         tn = {"raw": _attach_normals_knn(tgt["raw"].xyz, tgt["raw"].mask, 8)}
         return align_pipeline(src, tn, g, stages)
 
+    # ONE jit dispatcher caches all five (n, batch) shape specializations
+    f = jax.jit(jax.vmap(run_one))
     for n, batch in ((2048, 16), (2048, 64), (2048, 256),
                      (8192, 16), (32768, 4)):
         pairs = make_pairs(rng, batch, n, tau_sigma=0.05)
         srcs, tgts, taus = _stack_pairs(pairs, n)
         init = se3.identity((batch,))
-        f = jax.jit(jax.vmap(run_one))
         try:
             res, dt = _timed(lambda: f(srcs, tgts, init), iters=5)
             rows.append({"cloud": n, "batch": batch,
@@ -485,8 +485,13 @@ def bench_stress(rng):
     world = make_world(rng, 2 * CAP, extent=30.0)
     tau = rng.normal(0, 0.05, 6).astype(np.float32)
     R0, t0 = _cpu_se3_exp(-tau)
-    src_w = world[world[:, 0] < 10.0][:CAP]
-    tgt_w = world[world[:, 0] > -10.0][:CAP]
+    # hash-uniform down-selection: make_world emits block-ordered structure
+    # (ground, y-wall, x-wall) and a [:CAP] slab would drop the x-wall
+    # entirely, degenerating the scenario (CLAUDE.md invariant)
+    from mola_fe_lidar_tpu.cloud.voxel import hash_subsample_np
+    _cap_sel = lambda a: a[np.sort(hash_subsample_np(np.arange(len(a)), CAP))]
+    src_w = _cap_sel(world[world[:, 0] < 10.0])
+    tgt_w = _cap_sel(world[world[:, 0] > -10.0])
     res, err = run((src_w @ R0.T + t0).astype(np.float32), tgt_w, tau)
     out["overlap50"] = {"err_m": round(err, 4),
                         "quality": round(float(res.quality), 3)}
@@ -637,7 +642,6 @@ def bench_pgo(rng):
             jnp.asarray(rel_R), jnp.asarray(rel_t),
             jnp.full(e_cap, w_t, jnp.float32), jnp.full(e_cap, w_r, jnp.float32),
             jnp.ones(e_cap, jnp.float32))
-    _, _, cost0 = optimize_pose_graph(*args, iters=1)
     (R_o, t_o, cost), dt = _timed(
         lambda: optimize_pose_graph(*args, iters=30), iters=10)
     ate0 = float(np.sqrt(np.mean(
@@ -646,6 +650,7 @@ def bench_pgo(rng):
         np.sum((np.asarray(t_o, np.float64) - gt_t) ** 2, -1))))
     return {"nodes": n, "edges": e_cap, "lm_iters": 30,
             "solve_ms": round(dt * 1e3, 1),
+            "final_cost": round(float(np.asarray(cost)), 1),
             "ate_init_m": round(ate0, 3), "ate_opt_m": round(ate1, 3)}
 
 

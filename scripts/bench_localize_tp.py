@@ -56,14 +56,6 @@ def _voxel_first(points: np.ndarray, res: float) -> np.ndarray:
     return points[voxel_first_indices_np(points, res)]
 
 
-def _to_cap(points: np.ndarray, cap: int) -> np.ndarray:
-    """Hash-uniform subsample to ``cap`` — from_points truncates over-
-    capacity input in order, which for a voxel-sorted scan keeps an
-    azimuth WEDGE and biases the solve (CLAUDE.md invariant)."""
-    from mola_fe_lidar_tpu.cloud.voxel import hash_subsample_np
-    return points[hash_subsample_np(np.arange(len(points)), cap)]
-
-
 def _hdl64_scans(n_scans: int, n_azimuth: int = 2048):
     from mola_fe_lidar_tpu.obs.hdl64 import hdl64_sequence
     return hdl64_sequence(n_scans=n_scans, n_azimuth=n_azimuth)
@@ -103,7 +95,8 @@ def run_localize(args):
     q_idx = [i for i in range(2, len(obs), 8)][: args.queries]
     rows = []
     for i in q_idx:
-        pts = _to_cap(_voxel_first(_scan_points(obs[i]), 0.5), 4096)
+        # from_points hash-subsamples over-capacity input (never a wedge)
+        pts = _voxel_first(_scan_points(obs[i]), 0.5)
         scan = {"raw": from_points(pts, capacity=4096)}
         R, t = gt[i]
         true = se3.Pose(R=np.asarray(R, np.float32), t=np.asarray(t, np.float32))
@@ -126,9 +119,8 @@ def run_localize(args):
     for cap in (1 << 15, 1 << 17):
         tgt_pts = np.asarray(loc.map_cloud.xyz)[
             np.asarray(loc.map_cloud.mask) > 0]
-        tgt_pts = _to_cap(tgt_pts, cap)
         tgt = {"raw": from_points(tgt_pts, capacity=cap)}
-        pts = _to_cap(_voxel_first(_scan_points(obs[q_idx[0]]), 0.5), 4096)
+        pts = _voxel_first(_scan_points(obs[q_idx[0]]), 0.5)
         R, t = gt[q_idx[0]]
         world_scan = pts @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
         src = {"raw": from_points(world_scan, capacity=4096)}

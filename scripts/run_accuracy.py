@@ -63,7 +63,10 @@ def build_cfg(deskew: bool, scale: float = 1.0, local_map: bool = False,
             parsed = json.loads(val)
         except json.JSONDecodeError:
             parsed = val
-        parts = key.split(".")
+        # integer path segments index into YAML lists (e.g.
+        # pointcloud_filter.0.params.voxel_size=0.5)
+        parts = [int(x) if x.lstrip("-").isdigit() else x
+                 for x in key.split(".")]
         node = p
         for part in parts[:-1]:
             node = node[part]
@@ -133,6 +136,13 @@ def main():
     print(f"simulated {args.scans} scans ({args.azimuth * 64} rays each) "
           f"in {sim_s:.0f}s", file=sys.stderr)
 
+    known = ("deskew", "no_deskew", "local_map", "local_map_nodeskew")
+    for name in args.configs.split(","):
+        if name not in known:
+            raise SystemExit(
+                f"unknown config {name!r}; choose from {known} "
+                "(a typo would silently run scan-to-scan without deskew "
+                "and record a bogus row)")
     results = {}
     for name in args.configs.split(","):
         cfg = build_cfg(deskew=(name in ("deskew", "local_map")),
@@ -157,6 +167,12 @@ def main():
                 100.0 * row["ate_rmse_scan"] / length, 4)
         mod = res["module"]
         row["profile"] = mod.profiler.stats()
+        # an overridden run is a different experiment: key BOTH the row and
+        # the trajectory dump so neither silently replaces a default-config
+        # artifact
+        if args.override:
+            row["overrides"] = list(args.override)
+            name = name + "+" + ",".join(args.override)
         if args.dump_traj:
             d = Path(args.dump_traj)
             d.mkdir(parents=True, exist_ok=True)
@@ -168,12 +184,6 @@ def main():
                          est_R=np.stack([x[1][0] for x in sp]),
                          gt_t=np.stack([p for _, p in gt]),
                          gt_R=np.stack([R for R, _ in gt]))
-        # an overridden run is a different experiment: record the overrides
-        # and key the row so it can never silently replace a default-config
-        # row in the merged artifact
-        if args.override:
-            row["overrides"] = list(args.override)
-            name = name + "+" + ",".join(args.override)
         results[name] = row
         print(json.dumps({k: v for k, v in row.items() if k != "profile"},
                          default=float))

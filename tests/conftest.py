@@ -19,9 +19,16 @@ import jax  # noqa: E402
 
 # The environment may pre-import jax (site hooks registering accelerator
 # plugins), in which case the env vars above were latched too late — force
-# the platform/device-count through the live config as well.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# the platform/device-count through the live config as well. If the hook
+# already INITIALIZED the backend, config.update raises — tolerate it as
+# long as enough CPU devices exist (same guard as __graft_entry__).
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except RuntimeError:
+    assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8, (
+        "jax backend was initialized before conftest and is not an "
+        "8-device CPU mesh; cannot force the virtual mesh")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
