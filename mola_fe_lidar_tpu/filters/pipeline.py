@@ -241,6 +241,7 @@ class FilterEdgesPlanes:
             self.eigen_noise_floor,
             self.edges_capacity, self.planes_capacity, dec_cap, max_voxels,
             self.edge_min_verticality,
+            pc.attrs.get("time"),
         )
         mm = dict(mm)
         mm["edges"] = edges
@@ -254,8 +255,12 @@ class FilterEdgesPlanes:
 def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
                   min_e2_e0, max_e1_e0, min_e1_e0, noise_floor,
                   edges_cap, planes_cap, dec_cap, max_voxels,
-                  edge_min_verticality):
+                  edge_min_verticality, tim=None):
     vs = voxel.lex_sort_by_voxel(xyz, mask, res)
+    # per-point sweep-time fractions ride along (sorted by the same order)
+    # so downstream in-loop deskew refinement can re-warp the FILTERED
+    # layers without re-running this filter
+    tim_s = None if tim is None else jnp.take(tim, vs.order, axis=0)
     st = voxel.voxel_stats(vs, num_segments=max_voxels)
     evs = eigen3.sym_eigenvalues_3x3(st.cov)
     e0 = jnp.maximum(evs[..., 0], noise_floor)
@@ -295,22 +300,31 @@ def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
     # uniform compaction: over-capacity selections keep a spatially uniform
     # subset, never a low-x slab (the voxel sort is lexicographic in x —
     # slab truncation here made full-res odometry underestimate +x motion)
-    em, e_pts = _compact_uniform(pt_edge * stride_keep, edges_cap, vs.xyz)
-    pm, p_pts, p_n, p_pl = _compact_uniform(
-        pt_plane * stride_keep, planes_cap, vs.xyz, pt_normal, pt_planarity)
+    e_extra = () if tim_s is None else (tim_s,)
+    em, e_pts, *e_attrs = _compact_uniform(
+        pt_edge * stride_keep, edges_cap, vs.xyz, *e_extra)
+    pm, p_pts, p_n, p_pl, *p_attrs = _compact_uniform(
+        pt_plane * stride_keep, planes_cap, vs.xyz, pt_normal, pt_planarity,
+        *e_extra)
 
     e_pts = jnp.where(em[:, None] > 0.5, e_pts, 1e6)
     p_pts = jnp.where(pm[:, None] > 0.5, p_pts, 1e6)
-    edges = PointCloud(e_pts, em, {})
-    planes = PointCloud(p_pts, pm, {"normal": p_n, "planarity": p_pl[:, None]})
+    edges = PointCloud(e_pts, em,
+                       {} if tim_s is None else {"time": e_attrs[0]})
+    planes_attrs = {"normal": p_n, "planarity": p_pl[:, None]}
+    if tim_s is not None:
+        planes_attrs["time"] = p_attrs[0]
+    planes = PointCloud(p_pts, pm, planes_attrs)
 
     # full-cloud decimation: stride in sorted order (spatially stratified),
     # then a uniform compaction bounds any overflow beyond dec_cap
     stride_flag = ((jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
                     % full_decim) == 0).astype(xyz.dtype)
-    dm, d_pts = _compact_uniform(vs.mask * stride_flag, dec_cap, vs.xyz)
+    dm, d_pts, *d_attrs = _compact_uniform(
+        vs.mask * stride_flag, dec_cap, vs.xyz, *e_extra)
     d_pts = jnp.where(dm[:, None] > 0.5, d_pts, 1e6)
-    decimated = PointCloud(d_pts, dm, {})
+    decimated = PointCloud(d_pts, dm,
+                           {} if tim_s is None else {"time": d_attrs[0]})
     return edges, planes, decimated
 
 
@@ -488,6 +502,43 @@ def _deskew(pc: PointCloud, twist, period, to_end: bool = True) -> PointCloud:
     xyz = jnp.einsum("nij,nj->ni", poses.R, pc.xyz, precision="highest") + poses.t
     xyz = jnp.where(pc.mask[:, None] > 0.5, xyz, 1e6)
     attrs = {k: v for k, v in pc.attrs.items()}
+    return PointCloud(xyz, pc.mask, attrs)
+
+
+def delta_redeskew(pc: PointCloud, xi0, xi1, period,
+                   to_end: bool = True) -> PointCloud:
+    """Re-express a cloud that was deskewed with twist ``xi0`` as if it had
+    been deskewed with ``xi1`` instead — WITHOUT the original raw points.
+
+    Exact per point: the pass-1 deskew applied ``exp(off_i·T·ξ0)``, so
+    applying ``exp(off_i·T·ξ1) ∘ exp(off_i·T·ξ0)⁻¹`` to the current
+    coordinates yields exactly ``exp(off_i·T·ξ1)·p_raw``. Direction attrs
+    (``normal``) rotate by the delta rotation; ``cov`` (row-major [...,9])
+    gets the congruence transform. This is the enabling op for in-loop
+    (two-pass) motion-compensation refinement: align → implied twist →
+    re-warp the FILTERED layers → short re-align, all inside one jitted
+    program (no re-filtering, no extra dispatch).
+    """
+    from ..geometry import se3
+    t_frac = pc.attrs["time"][..., 0]
+    off = t_frac - 1.0 if to_end else t_frac
+    tau1 = off[:, None] * (jnp.asarray(xi1, jnp.float32) * period)
+    tau0 = off[:, None] * (jnp.asarray(xi0, jnp.float32) * period)
+    p1 = se3.exp(tau1)
+    p0 = se3.exp(tau0)
+    # delta = p1 ∘ p0⁻¹:  R = R1·R0ᵀ,  t = t1 − R·t0
+    Rd = jnp.einsum("nij,nkj->nik", p1.R, p0.R, precision="highest")
+    td = p1.t - jnp.einsum("nij,nj->ni", Rd, p0.t, precision="highest")
+    xyz = jnp.einsum("nij,nj->ni", Rd, pc.xyz, precision="highest") + td
+    xyz = jnp.where(pc.mask[:, None] > 0.5, xyz, 1e6)
+    attrs = dict(pc.attrs)
+    if "normal" in attrs:
+        attrs["normal"] = jnp.einsum("nij,nj->ni", Rd, attrs["normal"],
+                                     precision="highest")
+    if "cov" in attrs:
+        C = attrs["cov"].reshape(-1, 3, 3)
+        C = jnp.einsum("nij,njk,nlk->nil", Rd, C, Rd, precision="highest")
+        attrs["cov"] = C.reshape(-1, 9)
     return PointCloud(xyz, pc.mask, attrs)
 
 

@@ -197,6 +197,27 @@ class LidarOdometryParameters:
     deskew_max_accel: float = 10.0       # m/s^2 per-scan velocity-change clamp
     deskew_max_rot_accel: float = 5.0    # rad/s^2 per-scan rate-change clamp
     deskew_twist_max_age: int = 5        # scans a smoothed twist stays usable
+    # In-loop (two-pass) deskew refinement inside the fused step. The damped
+    # EMA twist above lags the true motion by construction — on the HDL-64
+    # sim circuit the per-scan rotation error is corner-concentrated
+    # (corr 0.58 with yaw rate; corner RMS 3-10x straights) and each corner
+    # leaves a permanent heading kick, the dominant t_rel driver. Undamping
+    # (smoothing=1.0) diverges (ATE 6.0 vs 1.8 m: marginal feedback loop,
+    # see above). The fix that breaks the lag WITHOUT the feedback loop:
+    # after the first align, take the twist IMPLIED by the current scan's
+    # own alignment (log(rel_pose)/dt), re-warp the filtered layers in
+    # place (filters.pipeline.delta_redeskew — exact, no re-filtering),
+    # and re-align briefly from the pass-1 pose — all inside the one
+    # jitted program, still ONE dispatch + ONE readback per scan.
+    deskew_in_loop: bool = False
+    deskew_refine_iters: int = 10        # pass-2 align iteration cap
+    deskew_refine_min_quality: float = 0.3  # pass-1 quality gate
+    # refinement rounds (unrolled in the jitted program). The implied twist
+    # from a pass aligned on a mis-warped cloud is itself biased; iterating
+    # converges to the joint (pose, twist) fixed point. Measured on the
+    # skewed-pair unit test (8 m/s + 1 rad/s, zero prior): rot error
+    # one-pass 2.9°, 1 round 1.4°, 2 rounds well under 0.6°.
+    deskew_refine_rounds: int = 2
     # Odometry ICP target. "last_scan" = reference behavior (register
     # against the previous scan, reference :231-311). "local_map" =
     # scan-to-map: register against a rolling aggregate of the last
@@ -419,6 +440,13 @@ class LidarOdometry(FrontEndBase):
             g("deskew_max_rot_accel", p.deskew_max_rot_accel))
         p.deskew_twist_max_age = int(
             g("deskew_twist_max_age", p.deskew_twist_max_age))
+        p.deskew_in_loop = bool(g("deskew_in_loop", p.deskew_in_loop))
+        p.deskew_refine_iters = int(
+            g("deskew_refine_iters", p.deskew_refine_iters))
+        p.deskew_refine_min_quality = float(
+            g("deskew_refine_min_quality", p.deskew_refine_min_quality))
+        p.deskew_refine_rounds = int(
+            g("deskew_refine_rounds", p.deskew_refine_rounds))
         p.odometry_reference = str(
             g("odometry_reference", p.odometry_reference))
         if p.odometry_reference not in ("last_scan", "local_map"):
@@ -651,11 +679,20 @@ class LidarOdometry(FrontEndBase):
                 if (self.params.fused_scan_step
                         and self._fused_ok.get((kind, use_map), True)):
                     # ONE dispatch + ONE readback (see _get_fused_step)
+                    # two-pass deskew refinement inputs: previous world pose
+                    # (to strip from a map-align WORLD result) and dt (to
+                    # turn the rel pose into an implied twist)
+                    prev_wR = np.asarray(
+                        st.world_R if use_map else np.eye(3), np.float32)
+                    prev_wt = np.asarray(
+                        st.world_t if use_map else np.zeros(3), np.float32)
                     try:
                         prof.enter("doProcess.fused_step")
                         mm, flat = self._get_fused_step(kind, use_map)(
                             raw_map, icp_target, guess_R, guess_t,
-                            jnp.asarray(deskew_twist, jnp.float32))
+                            jnp.asarray(deskew_twist, jnp.float32),
+                            jnp.asarray(prev_wR), jnp.asarray(prev_wt),
+                            jnp.float32(max(dt, 0.0)))
                         flat = np.asarray(flat)  # the single readback
                         prof.leave("doProcess.fused_step")
                         total, finite = float(flat[51]), float(flat[52])
@@ -1005,15 +1042,29 @@ class LidarOdometry(FrontEndBase):
         readback per scan. Cached globally by configuration so fresh module
         instances never recompile."""
         stages = self._stages_for(kind, for_map)
-        key = (_filters_cache_key(self.filter_pipeline.filters), stages)
+        pp = self.params
+        two_pass_cfg = (pp.deskew_in_loop, pp.deskew_refine_iters,
+                        pp.deskew_refine_min_quality, for_map,
+                        pp.max_sensor_speed, pp.max_sensor_rot_rate,
+                        pp.deskew_refine_rounds)
+        key = (_filters_cache_key(self.filter_pipeline.filters), stages,
+               two_pass_cfg)
         if key in _FUSED_STEP_CACHE:
             return _FUSED_STEP_CACHE[key]
-        from ..filters.pipeline import FilterDeskew
+        from ..filters.pipeline import FilterDeskew, delta_redeskew
         from ..models.icp import align_pipeline as _align_pipeline
         filters = tuple(self.filter_pipeline.filters)
+        dsk = next((f for f in filters if isinstance(f, FilterDeskew)), None)
+        two_pass = pp.deskew_in_loop and dsk is not None
+        if two_pass:
+            refine_stages = (dataclasses.replace(
+                stages[-1], max_iterations=pp.deskew_refine_iters),)
+        min_q = pp.deskew_refine_min_quality
+        max_v, max_w = pp.max_sensor_speed, pp.max_sensor_rot_rate
 
         @jax.jit
-        def step(raw_map, last_map, guess_R, guess_t, twist):
+        def step(raw_map, last_map, guess_R, guess_t, twist,
+                 prev_R, prev_t, dt):
             mm = raw_map
             for f in filters:
                 if isinstance(f, FilterDeskew):
@@ -1030,6 +1081,35 @@ class LidarOdometry(FrontEndBase):
                 ).astype(jnp.float32)
             res = _align_pipeline(mm, last_map, se3.Pose(guess_R, guess_t),
                                   stages)
+            if two_pass:
+                # twist IMPLIED by this scan's own alignment (zero lag):
+                # rel motion over dt, through log, physically clamped.
+                # Iterated: the implied twist from a pass aligned on a
+                # mis-warped cloud is itself biased; a couple of unrolled
+                # rounds converge to the joint (pose, twist) fixed point.
+                xi_cur = twist
+                for _round in range(pp.deskew_refine_rounds):
+                    rel = res.pose
+                    if for_map:  # res is a WORLD pose; rel = prev⁻¹ ∘ res
+                        rel = se3.compose(
+                            se3.inverse(se3.Pose(prev_R, prev_t)), res.pose)
+                    xi = se3.log(rel) / jnp.maximum(dt, 1e-3)
+                    xi = jnp.concatenate([jnp.clip(xi[:3], -max_v, max_v),
+                                          jnp.clip(xi[3:], -max_w, max_w)])
+                    ok = ((res.quality >= min_q) & (dt > 1e-3)
+                          & jnp.all(jnp.isfinite(xi)))
+                    # gated to the current twist: delta_redeskew(ξ→ξ) is
+                    # the identity warp and the re-align converges in ~1
+                    # iter, so a gated round costs little
+                    xi_new = jnp.where(ok, xi, xi_cur)
+                    mm = {name: (delta_redeskew(pc, xi_cur, xi_new,
+                                                dsk.scan_period,
+                                                dsk.anchor == "end")
+                                 if "time" in pc.attrs else pc)
+                          for name, pc in mm.items()}
+                    res = _align_pipeline(mm, last_map, res.pose,
+                                          refine_stages)
+                    xi_cur = xi_new
             flat = jnp.concatenate([_pack_icp_result(res),
                                     jnp.stack([total, finite])])
             return mm, flat
