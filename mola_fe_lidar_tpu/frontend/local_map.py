@@ -144,8 +144,15 @@ class LocalMap:
                     a["normal"] = a["normal"] @ R.T.astype(np.float32)
                 attr_lists.append(a)
             xyz = np.concatenate(xs).astype(np.float32)
+            # keys: intersection across keyframes (a resume can mix clouds
+            # recorded with/without an attr); "time" is per-sweep data —
+            # meaningless for an aggregated TARGET map, so drop it
+            keys = set(attr_lists[0]) if attr_lists else set()
+            for a in attr_lists[1:]:
+                keys &= set(a)
+            keys.discard("time")
             attrs = {k: np.concatenate([a[k] for a in attr_lists])
-                     for k in (attr_lists[0] if attr_lists else {})}
+                     for k in keys}
             if (self.transient_min_views > 1
                     and len(xs) > self.transient_protect_recent):
                 # distinct-keyframe view count per consistency voxel

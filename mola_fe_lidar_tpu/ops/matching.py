@@ -31,8 +31,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(1e30)
+# plain numpy scalar, NOT jnp: a jnp constant here would execute a device op
+# at import time and initialize the jax backend before callers (runner --cpu,
+# dryrun_multichip, tests conftest) can force the virtual CPU mesh
+_BIG = np.float32(1e30)
 
 
 class NNResult(NamedTuple):

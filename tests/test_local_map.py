@@ -50,6 +50,24 @@ class TestLocalMap:
         assert not (np.abs(xyz) < 1e-3).all(axis=1).any()  # origin evicted
         assert len(lm) == 2
 
+    def test_mixed_attrs_intersect_and_time_dropped(self):
+        """Keyframes recorded with different attr sets (e.g. a resume from a
+        pre-upgrade checkpoint) aggregate on the COMMON keys instead of
+        KeyError'ing; per-sweep "time" never reaches the aggregated map."""
+        lm = LocalMap(window=4, capacity_mult=4, dedup_voxel=0.05)
+        I = (np.eye(3), np.zeros(3))
+        a = np.array([[0, 0, 0], [5, 0, 0]], np.float32)
+        lm.add_keyframe({"planes": _cloud(
+            a, {"normal": np.tile([0, 0, 1], (2, 1)).astype(np.float32),
+                "time": np.linspace(0, 1, 2, dtype=np.float32)[:, None]},
+            capacity=256)}, I)
+        lm.add_keyframe({"planes": _cloud(
+            a + 10, {"normal": np.tile([0, 1, 0], (2, 1)).astype(np.float32)},
+            capacity=256)}, I)
+        mp = lm.build()
+        assert set(mp["planes"].attrs) == {"normal"}
+        assert int(np.asarray(mp["planes"].mask).sum()) == 4
+
     def test_keep_layers_filters_unused(self):
         lm = LocalMap(window=2, keep_layers={"decimated"})
         a = np.array([[0, 0, 0]], np.float32)

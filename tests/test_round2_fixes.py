@@ -673,3 +673,26 @@ class TestDecimateToCountKeepsAttrs:
         orig = {float(x): i for i, x in enumerate(pts[:, 0])}
         idxs = np.array([orig[float(x)] for x in kept_xyz[:, 0]])
         np.testing.assert_allclose(kept_t, t[idxs, 0], atol=1e-6)
+
+
+class TestImportSideEffects:
+    def test_import_does_not_initialize_jax_backend(self):
+        """Importing the package must run NO device op: callers (runner
+        --cpu, __graft_entry__.dryrun_multichip, the test conftest) force
+        the virtual CPU mesh AFTER import, and jax refuses config updates
+        once a backend is initialized. Regression: ops/matching.py once held
+        a module-level ``jnp.float32(1e30)`` constant that broke all of
+        them on TPU hosts."""
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "import jax._src.xla_bridge as xb\n"
+            "import mola_fe_lidar_tpu.frontend\n"
+            "import mola_fe_lidar_tpu.obs.runner\n"
+            "assert not xb._backends, 'import initialized a jax backend'\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=560)
+        assert r.returncode == 0, r.stderr[-2000:]
