@@ -148,6 +148,19 @@ class ICPParams:
     # 0 for batched stages.
     cand_refresh_min_trans: float = 0.0
     cand_refresh_min_rot: float = 0.0
+    # Anderson acceleration (AA-ICP, arXiv:1709.05479): treat the outer
+    # match→solve iteration as a fixed-point map on the SE(3) tangent chart
+    # at the initial guess and extrapolate from the last `anderson_m`
+    # iterates (type-II AA, regularized least squares over the residual
+    # differences). 0 = off (plain Picard iteration, reference behavior).
+    # Safeguards: history resets when the Picard residual grows past
+    # `anderson_reset_ratio`× the best seen (match reassignment makes the
+    # map non-smooth), and an accelerated step larger than 10× the plain
+    # step falls back to the plain step. Incompatible with candidate-cached
+    # matchers (cand_k > 0) — the cache's block structure already amortizes
+    # the per-iteration cost that AA would skip.
+    anderson_m: int = 0
+    anderson_reset_ratio: float = 2.0
     # When set, the engine runs tensor-parallel: target clouds are sharded
     # on the point axis over this mesh axis name (use inside shard_map —
     # see parallel.distributed). None = single-device semantics.

@@ -503,6 +503,51 @@ def align(
         new_pose, converged = _step(pose, it, src_map, tgt_map)
         return (new_pose, it + 1, converged)
 
+    m_aa = params.anderson_m
+
+    def body_anderson(state):
+        """Picard step + type-II Anderson extrapolation (AA-ICP,
+        arXiv:1709.05479) on the SE(3) tangent chart at ``init_pose``.
+
+        The history lives in shift registers ``Fh``/``Gh`` (last row =
+        newest); ``cnt`` counts valid entries so a freshly-reset history
+        contributes zero difference columns. Two safeguards keep the
+        non-smooth fixed-point map (matches reassign discretely) from
+        derailing the extrapolation: the history resets whenever the
+        Picard residual grows past ``anderson_reset_ratio``× the best seen,
+        and an accelerated step larger than 10× the plain step falls back
+        to the plain step."""
+        pose, it, done, Fh, Gh, cnt, best = state
+        new_pose, converged = _step(pose, it, src_map, tgt_map)
+        x = se3.log(se3.compose(pose, se3.inverse(init_pose)))
+        g = se3.log(se3.compose(new_pose, se3.inverse(init_pose)))
+        f = g - x
+        fnorm = jnp.linalg.norm(f)
+        reset = jnp.logical_and(cnt > 0,
+                                fnorm > params.anderson_reset_ratio * best)
+        cnt = jnp.where(reset, 0, cnt)
+        best = jnp.where(reset, fnorm, jnp.minimum(best, fnorm))
+        Fh = jnp.concatenate([Fh[1:], f[None]], axis=0)
+        Gh = jnp.concatenate([Gh[1:], g[None]], axis=0)
+        cnt = jnp.minimum(cnt + 1, m_aa + 1)
+        dF = Fh[1:] - Fh[:-1]                       # [m, 6]
+        dG = Gh[1:] - Gh[:-1]
+        valid = (jnp.arange(m_aa) >= (m_aa - (cnt - 1))).astype(f.dtype)
+        A = dF * valid[:, None]                     # stale rows zeroed
+        M = jnp.matmul(A, A.T, precision="highest")
+        lam = 1e-10 + 1e-8 * jnp.trace(M) / m_aa
+        M = M + lam * jnp.eye(m_aa, dtype=f.dtype)  # zero rows → gamma 0
+        gamma = jnp.linalg.solve(M, A @ f)
+        x_acc = g - jnp.matmul(gamma, dG * valid[:, None],
+                               precision="highest")
+        step_ok = jnp.linalg.norm(x_acc - x) <= 10.0 * fnorm + 1e-12
+        use_aa = jnp.logical_and(cnt >= 2,
+                                 jnp.logical_and(step_ok,
+                                                 jnp.logical_not(converged)))
+        new_x = jnp.where(use_aa, x_acc, g)
+        accel_pose = se3.compose(se3.exp(new_x), init_pose)
+        return (accel_pose, it + 1, converged, Fh, Gh, cnt, best)
+
     elig = tuple(i for i, m in enumerate(params.matchers) if _cand_eligible(m))
 
     def _refresh_all(pose):
@@ -571,8 +616,22 @@ def align(
 
     it0 = jnp.zeros((), jnp.int32)
     done0 = jnp.zeros((), bool)
-    if _uses_cands(params) and (params.cand_refresh_min_trans > 0
-                                or params.cand_refresh_min_rot > 0):
+    if params.anderson_m > 0 and _uses_cands(params):
+        raise ValueError(
+            "anderson_m is incompatible with candidate-cached matchers "
+            "(cand_k > 0): the cache's block loop already amortizes the "
+            "per-iteration cost AA would skip")
+    if params.anderson_m > 0:
+        state0 = (init_pose, it0, done0,
+                  jnp.zeros((m_aa + 1, 6), jnp.float32),
+                  jnp.zeros((m_aa + 1, 6), jnp.float32),
+                  jnp.zeros((), jnp.int32),
+                  jnp.full((), jnp.inf, jnp.float32))
+        final_state = jax.lax.while_loop(
+            lambda s: cond(s[:3]), body_anderson, state0)
+        pose, n_iter, converged = final_state[:3]
+    elif _uses_cands(params) and (params.cand_refresh_min_trans > 0
+                                  or params.cand_refresh_min_rot > 0):
         state0 = (init_pose, it0, done0, _refresh_all(init_pose), init_pose)
         final_state = jax.lax.while_loop(
             lambda s: cond(s[:3]), body_cands_cond, state0)
