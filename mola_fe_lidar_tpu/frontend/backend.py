@@ -87,19 +87,28 @@ class InMemoryBackend(BackEndBase):
         self.keyframes: Dict[int, ProposeKFInput] = {}
         self.factors: List[FactorRelativePose3] = []
         self.localizations: List[AdvertiseLocalization] = []
+        # post-shutdown refusals (see _submit). Nonzero after a replay means
+        # work arrived after shutdown and its output was DROPPED — pair with
+        # the runner's `jobs_abandoned` metric when auditing a run.
+        self.refused_after_shutdown = 0
 
     def _submit(self, work, refused):
         """Submit to the pool; after shutdown, refuse gracefully.
 
-        A straggling front-end worker (e.g. a nearby-KF batch that out-
-        lived ``drain()``'s bounded wait) may call the protocol after the
-        pool is closed. The reference's future-based protocol has no
-        post-shutdown contract at all; raising out of the worker only
-        spams the error log, so return an already-resolved "not accepted"
-        future instead."""
+        THE POST-SHUTDOWN CONTRACT: once ``shutdown()`` has been called,
+        every protocol call returns an already-resolved future whose value
+        is the op's "not accepted" result (``accepted=False``, id ``-1``)
+        and increments ``refused_after_shutdown``; nothing is recorded. A
+        straggling front-end worker (e.g. a nearby-KF batch that outlived
+        ``drain()``'s bounded wait) may call the protocol after the pool is
+        closed. The reference's future-based protocol has no post-shutdown
+        contract at all; raising out of the worker only spams the error
+        log, so refuse visibly-but-gracefully instead."""
         try:
             return self._pool.submit(work)
         except RuntimeError:  # cannot schedule new futures after shutdown
+            with self._lock:
+                self.refused_after_shutdown += 1
             fut: Future = Future()
             fut.set_result(refused)
             return fut

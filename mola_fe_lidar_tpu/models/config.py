@@ -62,8 +62,11 @@ class Matcher:
     # fused Pallas kernel above (exact, compiles in seconds at any size,
     # while the XLA scan's remote compile blows up past ~8k); CPU always
     # XLA. The voxel-hash "grid" is gather-bound and loses to brute force
-    # on TPU at all sizes, kept for radius-limited semantics. Explicit
-    # values: "xla", "pallas", "grid".
+    # on TPU at all sizes, kept for radius-limited semantics. "mxu" runs
+    # the single-pass bf16 cross-term candidate pass on the MXU and
+    # re-scores the top candidates exactly in f32 difference form
+    # (ops/matching.py::knn_mxu; recall measured in docs/nn_crossover.json).
+    # Explicit values: "xla", "pallas", "grid", "mxu".
     nn_backend: str = "auto"
     # Candidate-cached matching (1-NN kinds only: point2point /
     # point2plane_normals). 0 = off (full NN every iteration, reference
@@ -153,12 +156,20 @@ class ICPParams:
     # at the initial guess and extrapolate from the last `anderson_m`
     # iterates (type-II AA, regularized least squares over the residual
     # differences). 0 = off (plain Picard iteration, reference behavior).
-    # Safeguards: history resets when the Picard residual grows past
-    # `anderson_reset_ratio`× the best seen (match reassignment makes the
-    # map non-smooth), and an accelerated step larger than 10× the plain
-    # step falls back to the plain step. Incompatible with candidate-cached
-    # matchers (cand_k > 0) — the cache's block structure already amortizes
-    # the per-iteration cost that AA would skip.
+    # Safeguard: each accelerated iterate is accepted provisionally and
+    # REVERTED to the stored plain Picard step (history reset) if its
+    # Picard residual blows past `anderson_reset_ratio`x the best seen or
+    # goes non-finite (match reassignment makes the map non-smooth; a
+    # step-length cap would instead forbid acceleration on slow
+    # contractions where the distance to the fixed point is
+    # fnorm/(1-rate) >> fnorm). AA is also disabled when the chart
+    # rotation ||log||_rot exceeds pi/2 — se3.log is discontinuous near
+    # angle pi and history differences must not cross the chart cut. Only
+    # worth turning on for slow (e.g. heavily damped) contractions; the
+    # undamped GN+MAP map converges in a handful of outer iterations on
+    # its own. Incompatible with candidate-cached matchers (cand_k > 0) —
+    # the cache's block structure already amortizes the per-iteration cost
+    # that AA would skip.
     anderson_m: int = 0
     anderson_reset_ratio: float = 2.0
     # When set, the engine runs tensor-parallel: target clouds are sharded

@@ -86,6 +86,9 @@ def _nn_1(sp, src_mask, tgt, tile: int, backend: str):
 
         i, d = pallas_nn.pallas_nearest_neighbors(sp, src_mask, tgt.xyz, tgt.mask)
         return matching_ops.NNResult(i, d)
+    if backend == "mxu":
+        return matching_ops.nearest_neighbors_mxu(
+            sp, src_mask, tgt.xyz, tgt.mask, tile=min(tile * 4, 2048))
     return matching_ops.nearest_neighbors(sp, src_mask, tgt.xyz, tgt.mask,
                                           tile=tile)
 
@@ -208,6 +211,10 @@ def _match_one(
         # CPU always uses the exact tiled-scan path.
         if cand_idx is not None and m.kind in _CAND_KNN_KINDS:
             nnk = lambda: _knn_from_cands(sp, tgt, cand_idx, m.knn)
+        elif backend == "mxu":
+            nnk = lambda: matching_ops.knn_mxu(
+                sp, src.mask, tgt.xyz, tgt.mask, k=m.knn,
+                cand_k=max(32, 4 * m.knn), tile=min(tile * 4, 2048))
         elif m.approx_knn and jax.default_backend() != "cpu":
             nnk = lambda: matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
         elif backend == "pallas" and jax.default_backend() == "tpu":
@@ -511,25 +518,44 @@ def align(
 
         The history lives in shift registers ``Fh``/``Gh`` (last row =
         newest); ``cnt`` counts valid entries so a freshly-reset history
-        contributes zero difference columns. Two safeguards keep the
-        non-smooth fixed-point map (matches reassign discretely) from
-        derailing the extrapolation: the history resets whenever the
-        Picard residual grows past ``anderson_reset_ratio``× the best seen,
-        and an accelerated step larger than 10× the plain step falls back
-        to the plain step."""
-        pose, it, done, Fh, Gh, cnt, best = state
+        contributes zero difference columns. Safeguard (the AA-ICP paper's,
+        not a step-length cap — a length cap of O(fnorm) structurally
+        forbids acceleration on slow contractions where the distance to the
+        fixed point is fnorm/(1-ρ) ≫ fnorm): every accelerated iterate is
+        accepted *provisionally*; if its Picard residual blows past
+        ``anderson_reset_ratio``× the best seen (or goes non-finite, which
+        a diverging solve can produce), the iterate is discarded, the pose
+        reverts to the stored plain Picard fallback, and the history
+        resets. A blow-up on a *plain* iterate is genuine map behavior
+        (matches reassign discretely) and only resets the history. AA is
+        additionally disabled outside the rotation basin of the chart
+        (‖log‖_rot > π/2): se3.log is discontinuous near angle π and the
+        history differences would cross the chart cut."""
+        pose, it, done, Fh, Gh, cnt, best, g_fb, was_aa = state
+        active = jnp.logical_not(done)
         new_pose, converged = _step(pose, it, src_map, tgt_map)
         x = se3.log(se3.compose(pose, se3.inverse(init_pose)))
         g = se3.log(se3.compose(new_pose, se3.inverse(init_pose)))
         f = g - x
         fnorm = jnp.linalg.norm(f)
-        reset = jnp.logical_and(cnt > 0,
-                                fnorm > params.anderson_reset_ratio * best)
-        cnt = jnp.where(reset, 0, cnt)
-        best = jnp.where(reset, fnorm, jnp.minimum(best, fnorm))
-        Fh = jnp.concatenate([Fh[1:], f[None]], axis=0)
-        Gh = jnp.concatenate([Gh[1:], g[None]], axis=0)
-        cnt = jnp.minimum(cnt + 1, m_aa + 1)
+        blown = jnp.logical_and(
+            cnt > 0,
+            jnp.logical_or(fnorm > params.anderson_reset_ratio * best,
+                           jnp.logical_not(jnp.isfinite(fnorm))))
+        # Revert only iterates the accelerator produced; a plain step that
+        # blew up is the map itself and reverting would bounce forever.
+        revert = jnp.logical_and(blown, was_aa)
+        cnt = jnp.where(blown, 0, cnt)
+        best = jnp.where(blown, jnp.inf, jnp.minimum(best, fnorm))
+        # A reverted iterate's f/g describe the REJECTED point — keep them
+        # out of the history (cnt=0 above already marks the rows stale, but
+        # the shift register must not hold them either or the first
+        # difference after the reset would span the garbage row).
+        Fh = jnp.where(revert, Fh,
+                       jnp.concatenate([Fh[1:], f[None]], axis=0))
+        Gh = jnp.where(revert, Gh,
+                       jnp.concatenate([Gh[1:], g[None]], axis=0))
+        cnt = jnp.minimum(cnt + jnp.where(revert, 0, 1), m_aa + 1)
         dF = Fh[1:] - Fh[:-1]                       # [m, 6]
         dG = Gh[1:] - Gh[:-1]
         valid = (jnp.arange(m_aa) >= (m_aa - (cnt - 1))).astype(f.dtype)
@@ -537,16 +563,25 @@ def align(
         M = jnp.matmul(A, A.T, precision="highest")
         lam = 1e-10 + 1e-8 * jnp.trace(M) / m_aa
         M = M + lam * jnp.eye(m_aa, dtype=f.dtype)  # zero rows → gamma 0
-        gamma = jnp.linalg.solve(M, A @ f)
+        gamma = jnp.linalg.solve(M, jnp.matmul(A, f, precision="highest"))
         x_acc = g - jnp.matmul(gamma, dG * valid[:, None],
                                precision="highest")
-        step_ok = jnp.linalg.norm(x_acc - x) <= 10.0 * fnorm + 1e-12
-        use_aa = jnp.logical_and(cnt >= 2,
-                                 jnp.logical_and(step_ok,
-                                                 jnp.logical_not(converged)))
-        new_x = jnp.where(use_aa, x_acc, g)
+        in_basin = jnp.linalg.norm(x[3:]) < (jnp.pi / 2)
+        use_aa = (jnp.logical_and(cnt >= 2, jnp.isfinite(x_acc).all())
+                  & in_basin & jnp.logical_not(converged)
+                  & jnp.logical_not(revert))
+        new_x = jnp.where(revert, g_fb, jnp.where(use_aa, x_acc, g))
+        converged = jnp.logical_and(converged, jnp.logical_not(revert))
         accel_pose = se3.compose(se3.exp(new_x), init_pose)
-        return (accel_pose, it + 1, converged, Fh, Gh, cnt, best)
+        # Frozen-lane semantics for vmap: a converged lane keeps its pose
+        # and iteration count while the batch loop drains other lanes.
+        out_pose = se3.Pose(
+            jnp.where(active, accel_pose.R, pose.R),
+            jnp.where(active, accel_pose.t, pose.t),
+        )
+        done = jnp.logical_or(done, converged)
+        return (out_pose, it + active.astype(jnp.int32), done, Fh, Gh, cnt,
+                best, jnp.where(revert, g_fb, g), use_aa)
 
     elig = tuple(i for i, m in enumerate(params.matchers) if _cand_eligible(m))
 
@@ -626,7 +661,9 @@ def align(
                   jnp.zeros((m_aa + 1, 6), jnp.float32),
                   jnp.zeros((m_aa + 1, 6), jnp.float32),
                   jnp.zeros((), jnp.int32),
-                  jnp.full((), jnp.inf, jnp.float32))
+                  jnp.full((), jnp.inf, jnp.float32),
+                  jnp.zeros((6,), jnp.float32),
+                  jnp.zeros((), bool))
         final_state = jax.lax.while_loop(
             lambda s: cond(s[:3]), body_anderson, state0)
         pose, n_iter, converged = final_state[:3]

@@ -144,7 +144,7 @@ def run_replay(observations, cfg: Optional[dict] = None,
         module.on_new_observation(obs)
         if realtime:
             time.sleep(0.01)
-    module.drain()
+    jobs_abandoned = module.drain()
     wall = time.perf_counter() - t0
 
     kf_poses = estimated_trajectory(module)
@@ -155,6 +155,9 @@ def run_replay(observations, cfg: Optional[dict] = None,
         "n_keyframes": len(backend.keyframes),
         "n_factors": len(backend.factors),
         "wall_s": wall,
+        # nonzero = the drain timed out with jobs in flight; their factors
+        # were LOST. Harnesses assert this is 0 (VERDICT r2 #8).
+        "jobs_abandoned": jobs_abandoned,
         "kf_poses": kf_poses,
         "backend": backend,
         "module": module,

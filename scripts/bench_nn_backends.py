@@ -157,6 +157,13 @@ def main():
             s, jsmask, jtgt, jtmask, k=K), dk_ref)
         bench("approx_min_k", "knn", lambda s: matching.approx_knn(
             s, jsmask, jtgt, jtmask, k=K), dk_ref)
+        # bf16 MXU candidates + exact f32 rescore (VERDICT r2 item #4);
+        # the recall column is the real measurement of the bf16 candidate
+        # pass (cast noise ~0.25 m at 60 m extent vs ~1 m point spacing)
+        bench("mxu_knn", "knn", lambda s: matching.knn_mxu(
+            s, jsmask, jtgt, jtmask, k=K, cand_k=32), dk_ref)
+        bench("mxu_knn_high", "knn", lambda s: matching.knn_mxu(
+            s, jsmask, jtgt, jtmask, k=K, cand_k=32, prec="high"), dk_ref)
         if n <= 2048:
             # the scan-merged exact path takes minutes in the remote XLA
             # compiler at >=8192 points (CLAUDE.md gotcha) — bench at scan
@@ -167,6 +174,8 @@ def main():
         # ---- 1-NN backends ----
         bench("pallas_1nn", "1nn", lambda s: _as_nn(
             pallas_nn.pallas_nearest_neighbors(s, jsmask, jtgt, jtmask)), d1_ref)
+        bench("mxu_1nn", "1nn", lambda s: _as_nn(
+            matching.nearest_neighbors_mxu(s, jsmask, jtgt, jtmask)), d1_ref)
         if n <= 2048:
             bench("xla_scan_1nn", "1nn", lambda s: matching.nearest_neighbors(
                 s, jsmask, jtgt, jtmask), d1_ref)

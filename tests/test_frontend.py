@@ -121,6 +121,41 @@ class TestBackend:
         assert not fo.success
         assert be.advertise_updated_localization(None).result() is None
         assert not be.factors and not be.keyframes
+        # ... and the refusals are COUNTED, so replay audits can see them
+        assert be.refused_after_shutdown == 3
+
+    def test_refused_counter_zero_on_clean_run(self):
+        be = InMemoryBackend()
+        be.add_keyframe(ProposeKFInput(timestamp=1.0)).result()
+        be.shutdown()
+        assert be.refused_after_shutdown == 0
+
+
+class TestDrainAccounting:
+    """drain() must ACCOUNT for work it abandons at timeout (VERDICT r2 #8):
+    returns the in-flight count, records drain.jobs_abandoned, and the
+    runner surfaces it so replays can assert zero."""
+
+    def test_clean_drain_returns_zero(self, small_world):
+        obs, _ = synthetic_sequence(kind="straight", n_scans=4,
+                                    world=small_world)
+        res = run_replay(obs, odom_test_cfg())
+        assert res["jobs_abandoned"] == 0
+        m = res["module"]
+        assert m.profiler.stats()["counter:drain.jobs_abandoned"]["max"] == 0
+        m.shutdown()
+
+    def test_timeout_counts_inflight_jobs(self, small_world):
+        from mola_fe_lidar_tpu.obs.runner import build_module
+        m = build_module(odom_test_cfg())
+        with m._pending_lock:
+            m._nearby_inflight += 2  # simulate straggling LC workers
+        abandoned = m.drain(timeout=0.05)
+        assert abandoned == 2
+        assert m.profiler.stats()["counter:drain.jobs_abandoned"]["max"] == 2
+        with m._pending_lock:
+            m._nearby_inflight -= 2
+        m.shutdown()
 
 
 class TestICPConfigConverter:

@@ -111,3 +111,60 @@ class TestKNN:
         res = knn_mod.knn(jnp.asarray(src), jnp.ones(10), t.xyz, t.mask, k=6)
         d = np.asarray(res.dist)
         assert np.all(d[:, 3:] > 1e10)  # only 3 real neighbors exist
+
+
+class TestKNNMxu:
+    """bf16-candidates + f32-rescore path (ops/matching.py::knn_mxu).
+
+    On CPU the candidate pass is plain f32, so these check the CONTRACT
+    (agreement with exact kNN, masking, ordering); the bf16 recall on real
+    TPU hardware is measured by scripts/bench_nn_backends.py and recorded
+    in docs/nn_crossover.json."""
+
+    def test_matches_exact_k6(self, rng):
+        src, tgt = make_clouds(rng, n=200, m=500)
+        res = knn_mod.knn_mxu(jnp.asarray(src), jnp.ones(200),
+                              jnp.asarray(tgt), jnp.ones(500), k=6,
+                              cand_k=32, tile=256)
+        tree = scipy_spatial.cKDTree(tgt)
+        ref_d, ref_i = tree.query(src, k=6)
+        np.testing.assert_allclose(np.sort(np.asarray(res.dist), -1),
+                                   np.sort(ref_d, -1), rtol=1e-3, atol=1e-4)
+        same = np.mean(np.sort(np.asarray(res.idx), -1) == np.sort(ref_i, -1))
+        assert same > 0.999
+
+    def test_far_from_origin_rescore_exact(self, rng):
+        # the rescore is difference-form: distances stay exact even where
+        # the expansion form cancels catastrophically
+        src, tgt = make_clouds(rng, scale=5.0, offset=500.0)
+        res = knn_mod.nearest_neighbors_mxu(
+            jnp.asarray(src), jnp.ones(len(src)),
+            jnp.asarray(tgt), jnp.ones(len(tgt)), cand_k=16, tile=256)
+        tree = scipy_spatial.cKDTree(tgt)
+        ref_d, ref_i = tree.query(src)
+        assert np.mean(np.asarray(res.idx) == ref_i) > 0.99
+        np.testing.assert_allclose(np.asarray(res.dist), ref_d,
+                                   rtol=1e-2, atol=1e-3)
+
+    def test_masking_and_order(self, rng):
+        src = np.zeros((4, 3), np.float32)
+        tgt = np.array([[0.01, 0, 0], [5, 5, 5]], np.float32)
+        tgt_mask = np.array([0.0, 1.0], np.float32)
+        res = knn_mod.nearest_neighbors_mxu(
+            jnp.asarray(src), jnp.ones(4), jnp.asarray(tgt),
+            jnp.asarray(tgt_mask), cand_k=2, tile=256)
+        assert np.all(np.asarray(res.idx) == 1)
+        src2, tgt2 = make_clouds(rng, n=50, m=100)
+        r2 = knn_mod.knn_mxu(jnp.asarray(src2), jnp.ones(50),
+                             jnp.asarray(tgt2), jnp.ones(100), k=4,
+                             cand_k=16, tile=256)
+        assert np.all(np.diff(np.asarray(r2.dist), axis=-1) >= -1e-6)
+
+    def test_masked_sources_flagged(self, rng):
+        src, tgt = make_clouds(rng, n=10, m=20)
+        src_mask = np.ones(10, np.float32)
+        src_mask[3] = 0.0
+        res = knn_mod.knn_mxu(jnp.asarray(src), jnp.asarray(src_mask),
+                              jnp.asarray(tgt), jnp.ones(20), k=3,
+                              cand_k=8, tile=256)
+        assert float(res.dist[3, 0]) > 1e10
