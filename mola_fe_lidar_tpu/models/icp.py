@@ -88,7 +88,7 @@ def _nn_1(sp, src_mask, tgt, tile: int, backend: str):
         return matching_ops.NNResult(i, d)
     if backend == "mxu":
         return matching_ops.nearest_neighbors_mxu(
-            sp, src_mask, tgt.xyz, tgt.mask, tile=min(tile * 4, 2048))
+            sp, src_mask, tgt.xyz, tgt.mask)
     return matching_ops.nearest_neighbors(sp, src_mask, tgt.xyz, tgt.mask,
                                           tile=tile)
 
@@ -214,7 +214,7 @@ def _match_one(
         elif backend == "mxu":
             nnk = lambda: matching_ops.knn_mxu(
                 sp, src.mask, tgt.xyz, tgt.mask, k=m.knn,
-                cand_k=max(32, 4 * m.knn), tile=min(tile * 4, 2048))
+                cand_k=max(32, 4 * m.knn))
         elif m.approx_knn and jax.default_backend() != "cpu":
             nnk = lambda: matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
         elif backend == "pallas" and jax.default_backend() == "tpu":

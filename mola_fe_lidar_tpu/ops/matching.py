@@ -243,19 +243,30 @@ def tp_knn(
 
 # --------------------------------------------------------------------------
 # MXU fast path: low-precision cross-term candidates + exact f32 rescore
-# (VERDICT round-2 item #4). The d² expansion's matmul has contraction dim
-# K=3, so the MXU can never be more than 3/128 busy per pass — but HIGHEST
-# precision costs 6 passes where DEFAULT costs one. The trick: rank
-# CANDIDATES with the single-pass bf16 matmul (centered clouds bound the
-# absolute error: coordinates ≤ max_range quantize to ~0.25 m at bf16,
-# comparable to the voxel spacing, so the true neighbor lands in a modest
-# top-`cand_k` with high probability), then re-evaluate only those
-# candidates exactly in f32 **difference form** (no cancellation) and take
-# the true top-k. Recall is measured, not assumed — see
-# scripts/bench_nn_backends.py → docs/nn_crossover.json.
+# (VERDICT round-2 item #4). Three measured facts shape this design
+# (docs/nn_crossover.json):
+#  * the d² expansion's matmul has contraction dim 3, so MXU *passes* are
+#    what cost: HIGHEST (f32-faithful) = 6 bf16 passes, HIGH (bf16x3) = 3,
+#    DEFAULT (plain bf16) = 1;
+#  * single-pass bf16 candidates collapse at large targets (recall 0.64 at
+#    32k): the cross term's absolute error is ~|s||t|·2⁻⁸ ≈ 14 m² on a
+#    centered 60 m cloud — a ±3.7 m noise ball that holds more points than
+#    any reasonable candidate list once clouds are dense. bf16x3's 2⁻¹⁶
+#    shrinks the ball to ~0.2 m: recall stays 1.0 through 32k. HIGH it is;
+#  * a lax.scan over tiles with a per-tile top_k merge is 5–15× slower
+#    than ONE `lax.approx_min_k` over the full row (the TPU-native top-k
+#    unit, which XLA fuses with the distance expansion) — and the scan
+#    variant crashed the TPU worker outright at 131k.
+# So: HIGH-precision expansion + approx_min_k for `cand_k` candidates, then
+# exact f32 re-evaluation of those candidates in **difference form** (no
+# cancellation) and a true top-k. approx_min_k's ~per-candidate recall
+# shortfall applies to the *candidate list*, not the answer: the exact
+# rescore only needs the true k inside the top-`cand_k`, which is why the
+# measured recall@k lands ≥0.999 where direct approx_min_k@k sits at ~0.95.
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k", "cand_k", "tile", "prec"))
+@functools.partial(jax.jit, static_argnames=("k", "cand_k", "prec",
+                                             "recall_target"))
 def knn_mxu(
     src: jax.Array,
     src_mask: jax.Array,
@@ -263,75 +274,59 @@ def knn_mxu(
     tgt_mask: jax.Array,
     k: int,
     cand_k: int = 32,
-    tile: int = 2048,
-    prec: str = "default",
+    prec: str = "high",
+    recall_target: float = 0.95,
 ) -> NNResult:
-    """k-NN: bf16 MXU candidate generation + exact f32 rescore.
+    """k-NN: reduced-precision MXU candidate generation + exact f32 rescore.
 
-    ``prec`` picks the candidate pass ("default" = 1-pass bf16, "high" =
-    3-pass bf16x3 ≈ f24 — use when single-pass recall measures short).
-    Returns the same contract as ``knn`` (ascending, masked targets never
-    win, masked source rows ~1e15).
+    ``prec`` picks the candidate pass ("high" = 3-pass bf16x3, "default" =
+    1-pass bf16 — only safe for small/sparse targets, see module note).
+    ``recall_target`` tunes approx_min_k's reduction ratio for the
+    *candidate* stage. Same contract as ``knn`` (ascending, masked targets
+    never win, masked source rows ~1e15). Batched inputs vmap cleanly.
     """
     cand_k = max(cand_k, k)
-    shift = _common_shift(src, src_mask, tgt, tgt_mask)
-    src_c = src - shift
-    tgt_c = tgt - shift
-    tgt_c, tgt_mask_p = _pad_to_multiple(tgt_c, tgt_mask, tile)
-    n_tiles = tgt_c.shape[-2] // tile
-
     precision = (jax.lax.Precision.HIGH if prec == "high"
                  else jax.lax.Precision.DEFAULT)
-    src_sq = jnp.sum(src_c * src_c, axis=-1)
-    tgt_tiles = tgt_c.reshape(n_tiles, tile, 3)
-    tgt_mask_tiles = tgt_mask_p.reshape(n_tiles, tile)
-    n = src.shape[-2]
-    init = (jnp.full((n, cand_k), _BIG), jnp.zeros((n, cand_k), jnp.int32))
-
-    def body(carry, inp):
-        t_idx, t_xyz, t_mask = inp
-        cross = jnp.einsum("nd,td->nt", src_c, t_xyz, precision=precision)
-        t_sq = jnp.sum(t_xyz * t_xyz, axis=-1)
-        d2 = src_sq[:, None] + t_sq[None, :] - 2.0 * cross
-        d2 = jnp.where(t_mask[None, :] > 0.5, d2, _BIG)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (n, tile), 1) + t_idx * tile
-        best_d, best_i = carry
-        cand_d = jnp.concatenate([best_d, d2], axis=-1)
-        cand_i = jnp.concatenate([best_i, ids], axis=-1)
-        neg_top, pos = jax.lax.top_k(-cand_d, cand_k)
-        new_i = jnp.take_along_axis(cand_i, pos, axis=-1)
-        return (-neg_top, new_i), None
-
-    tile_ids = jax.lax.iota(jnp.int32, n_tiles)
-    (_, cand_i), _ = jax.lax.scan(
-        body, init, (tile_ids, tgt_tiles, tgt_mask_tiles))
+    shift = _common_shift(src, src_mask, tgt, tgt_mask)
+    src_c = jnp.where(src_mask[..., None] > 0.5, src - shift, 0.0)
+    tgt_c = jnp.where(tgt_mask[..., None] > 0.5, tgt - shift, 0.0)
+    d2 = (
+        jnp.sum(src_c * src_c, axis=-1)[..., :, None]
+        + jnp.sum(tgt_c * tgt_c, axis=-1)[..., None, :]
+        - 2.0 * jnp.einsum("...nd,...md->...nm", src_c, tgt_c,
+                           precision=precision)
+    )
+    d2 = jnp.where(tgt_mask[..., None, :] > 0.5, d2, _BIG)
+    _, cand_i = jax.lax.approx_min_k(d2, cand_k,
+                                     recall_target=recall_target)
 
     # exact f32 rescore in difference form — immune to the expansion's
     # cancellation AND to the candidate pass's low precision
-    cpts = jnp.take(tgt, cand_i, axis=-2)                # [N, cand_k, 3]
-    diff = cpts - src[..., None, :]
+    cpts = jnp.take_along_axis(
+        tgt[..., None, :, :], cand_i[..., None], axis=-2)  # [..., N, ck, 3]
+    diff = cpts - src[..., :, None, :]
     d2x = jnp.sum(diff * diff, axis=-1)
-    tm = jnp.take(tgt_mask, cand_i, axis=-1)
+    tm = jnp.take_along_axis(
+        tgt_mask[..., None, :], cand_i, axis=-1)
     d2x = jnp.where(tm > 0.5, d2x, _BIG)
     neg, j = jax.lax.top_k(-d2x, k)
     idx = jnp.take_along_axis(cand_i, j, axis=-1)
-    d = jnp.where(src_mask[:, None] > 0.5, -neg, _BIG)
+    d = jnp.where(src_mask[..., :, None] > 0.5, -neg, _BIG)
     return NNResult(idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(d, 0.0)))
 
 
-@functools.partial(jax.jit, static_argnames=("cand_k", "tile", "prec"))
+@functools.partial(jax.jit, static_argnames=("cand_k", "prec"))
 def nearest_neighbors_mxu(
     src: jax.Array,
     src_mask: jax.Array,
     tgt: jax.Array,
     tgt_mask: jax.Array,
     cand_k: int = 16,
-    tile: int = 2048,
-    prec: str = "default",
+    prec: str = "high",
 ) -> NNResult:
-    """1-NN through the bf16-candidates + f32-rescore path (see knn_mxu)."""
-    nn = knn_mxu(src, src_mask, tgt, tgt_mask, k=1, cand_k=cand_k,
-                 tile=tile, prec=prec)
+    """1-NN through the MXU-candidates + f32-rescore path (see knn_mxu)."""
+    nn = knn_mxu(src, src_mask, tgt, tgt_mask, k=1, cand_k=cand_k, prec=prec)
     return NNResult(nn.idx[..., 0], nn.dist[..., 0])
 
 

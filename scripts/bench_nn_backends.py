@@ -157,13 +157,14 @@ def main():
             s, jsmask, jtgt, jtmask, k=K), dk_ref)
         bench("approx_min_k", "knn", lambda s: matching.approx_knn(
             s, jsmask, jtgt, jtmask, k=K), dk_ref)
-        # bf16 MXU candidates + exact f32 rescore (VERDICT r2 item #4);
-        # the recall column is the real measurement of the bf16 candidate
-        # pass (cast noise ~0.25 m at 60 m extent vs ~1 m point spacing)
+        # MXU candidates (approx_min_k) + exact f32 rescore (VERDICT r2
+        # item #4). "mxu_knn" = the production bf16x3 pass; "mxu_knn_bf16"
+        # documents WHY single-pass bf16 is not the default (the ~14 m²
+        # cross-term noise ball collapses recall on dense targets).
         bench("mxu_knn", "knn", lambda s: matching.knn_mxu(
             s, jsmask, jtgt, jtmask, k=K, cand_k=32), dk_ref)
-        bench("mxu_knn_high", "knn", lambda s: matching.knn_mxu(
-            s, jsmask, jtgt, jtmask, k=K, cand_k=32, prec="high"), dk_ref)
+        bench("mxu_knn_bf16", "knn", lambda s: matching.knn_mxu(
+            s, jsmask, jtgt, jtmask, k=K, cand_k=32, prec="default"), dk_ref)
         if n <= 2048:
             # the scan-merged exact path takes minutes in the remote XLA
             # compiler at >=8192 points (CLAUDE.md gotcha) — bench at scan

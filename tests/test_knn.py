@@ -125,7 +125,7 @@ class TestKNNMxu:
         src, tgt = make_clouds(rng, n=200, m=500)
         res = knn_mod.knn_mxu(jnp.asarray(src), jnp.ones(200),
                               jnp.asarray(tgt), jnp.ones(500), k=6,
-                              cand_k=32, tile=256)
+                              cand_k=32)
         tree = scipy_spatial.cKDTree(tgt)
         ref_d, ref_i = tree.query(src, k=6)
         np.testing.assert_allclose(np.sort(np.asarray(res.dist), -1),
@@ -139,7 +139,7 @@ class TestKNNMxu:
         src, tgt = make_clouds(rng, scale=5.0, offset=500.0)
         res = knn_mod.nearest_neighbors_mxu(
             jnp.asarray(src), jnp.ones(len(src)),
-            jnp.asarray(tgt), jnp.ones(len(tgt)), cand_k=16, tile=256)
+            jnp.asarray(tgt), jnp.ones(len(tgt)), cand_k=16)
         tree = scipy_spatial.cKDTree(tgt)
         ref_d, ref_i = tree.query(src)
         assert np.mean(np.asarray(res.idx) == ref_i) > 0.99
@@ -152,12 +152,12 @@ class TestKNNMxu:
         tgt_mask = np.array([0.0, 1.0], np.float32)
         res = knn_mod.nearest_neighbors_mxu(
             jnp.asarray(src), jnp.ones(4), jnp.asarray(tgt),
-            jnp.asarray(tgt_mask), cand_k=2, tile=256)
+            jnp.asarray(tgt_mask), cand_k=2)
         assert np.all(np.asarray(res.idx) == 1)
         src2, tgt2 = make_clouds(rng, n=50, m=100)
         r2 = knn_mod.knn_mxu(jnp.asarray(src2), jnp.ones(50),
                              jnp.asarray(tgt2), jnp.ones(100), k=4,
-                             cand_k=16, tile=256)
+                             cand_k=16)
         assert np.all(np.diff(np.asarray(r2.dist), axis=-1) >= -1e-6)
 
     def test_masked_sources_flagged(self, rng):
@@ -166,5 +166,5 @@ class TestKNNMxu:
         src_mask[3] = 0.0
         res = knn_mod.knn_mxu(jnp.asarray(src), jnp.asarray(src_mask),
                               jnp.asarray(tgt), jnp.ones(20), k=3,
-                              cand_k=8, tile=256)
+                              cand_k=8)
         assert float(res.dist[3, 0]) > 1e10
