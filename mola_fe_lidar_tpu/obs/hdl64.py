@@ -303,6 +303,55 @@ class RoutePose:
         return R, np.array([xy[0], xy[1], self.height])
 
 
+def make_route(kind: str, world: HDL64World, speed: float = 8.0) -> RoutePose:
+    """Named routes over the city grid.
+
+    Streets that avoid buildings run on EVEN multiples of ``block_pitch``
+    (x or y ∈ {0, ±40, ±80, …}): building rows sit on odd multiples of
+    ``block_pitch/2`` with half-extent ≤ 12 m, so those lines keep ≥ 8 m of
+    clearance. (The legacy "block" route predates this and clips building
+    rows — kept verbatim so its recorded accuracy rows stay comparable.)
+
+    * ``block`` — the original one-block circuit (~630 m lap). 500 scans at
+      8 m/s cover barely half a lap: it can never close a loop.
+    * ``snake`` — 1760 m boustrophedon: three 320 m east-west rows joined on
+      the edges, then a return leg that RE-DRIVES the x=+160 edge and the
+      first row in the opposite direction. The revisit happens ≈ 880 m of
+      path (~290 keyframes at 3 m) after the first pass, far beyond
+      ``min_topo_dist_to_consider_loopclosure`` — the end-to-end
+      loop-closure demonstration (VERDICT r3 item #2) — and its long
+      straights make the official KITTI 100–800 m drift segments
+      meaningful (item #7; reference params/kitti-default.yaml operating
+      point).
+    * ``outback`` — a 330 m stadium loop inside ONE street: out along
+      y=−4 m, back along y=+4 m (both inside the street's ±8 m clear
+      corridor), joined by smooth end caps. The return pass runs 8 m from
+      the out pass — inside the loop-closure window (min_dist_to_matching
+      6 m … max_dist_to_loop_closure 30 m) — at high topological distance
+      almost immediately. The cheap CPU-smoke loop closure. (A literal
+      zero-width out-and-back does NOT work: the turnaround is an
+      instantaneous π heading flip — infinite curvature — that breaks the
+      constant-velocity ICP prior and trips the rotation-rate gate.)
+    """
+    p = world.block_pitch
+    if kind == "block":
+        e = p
+        wp = np.array([[-e, -e], [e * 3, -e], [e * 3, e * 3], [-e, e * 3]],
+                      float) + e / 2
+    elif kind == "snake":
+        wp = np.array([
+            [-160, -120], [160, -120], [160, 0], [-160, 0],
+            [-160, 120], [160, 120], [160, -120]], float) * (p / 40.0)
+    elif kind == "outback":
+        wp = np.array([[-2 * p, -4.0], [2 * p, -4.0],
+                       [2 * p, 4.0], [-2 * p, 4.0]], float)
+        return RoutePose(wp, speed=speed, corner_radius=6.0)
+    else:
+        raise ValueError(f"unknown route kind {kind!r}; "
+                         "choose block, snake, or outback")
+    return RoutePose(wp, speed=speed)
+
+
 def hdl64_sequence(
     n_scans: int = 500,
     world: Optional[HDL64World] = None,
@@ -310,6 +359,7 @@ def hdl64_sequence(
     n_azimuth: int = 2048,
     speed: float = 8.0,
     moving_cars: int = 0,
+    route_kind: str = "block",
 ) -> Tuple[List[Dict], List[Tuple[np.ndarray, np.ndarray]]]:
     """Full HDL-64 sequence: (observations, gt_poses at scan starts).
 
@@ -320,10 +370,7 @@ def hdl64_sequence(
     if moving_cars:
         world.add_moving_cars(moving_cars)
     if route is None:
-        e = world.block_pitch  # drive around one block of the grid
-        route = RoutePose(np.array([
-            [-e, -e], [e * 3, -e], [e * 3, e * 3], [-e, e * 3]]) + e / 2,
-            speed=speed)
+        route = make_route(route_kind, world, speed=speed)
     obs, gt = [], []
     for i in range(n_scans):
         t0 = i * SWEEP_PERIOD

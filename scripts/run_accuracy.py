@@ -74,6 +74,59 @@ def build_cfg(deskew: bool, scale: float = 1.0, local_map: bool = False,
     return cfg
 
 
+def eval_scan_ate(backend, kf_poses, observations, gt_poses):
+    """Scan-rate ATE for an arbitrary keyframe-pose dict (the runner's
+    association convention: gt index = scan index)."""
+    from mola_fe_lidar_tpu.obs.metrics import ate_rmse
+    from mola_fe_lidar_tpu.obs.runner import per_scan_trajectory
+
+    dt = (observations[1]["timestamp"] - observations[0]["timestamp"]
+          if len(observations) > 1 else 1.0)
+    t0 = observations[0]["timestamp"]
+    gt_sel, est_sel = [], []
+    for ts, pose in per_scan_trajectory(backend, kf_poses):
+        idx = int(round((ts - t0) / dt))
+        if 0 <= idx < len(gt_poses):
+            gt_sel.append(gt_poses[idx])
+            est_sel.append(pose)
+    return ate_rmse(est_sel, gt_sel)
+
+
+def false_lc_study(res, obs, gt, robust: str) -> dict:
+    """Inject ONE false loop closure into the recorded factor stream and
+    optimize three ways: clean+robust, poisoned+plain LM, poisoned+robust.
+
+    The robust (IRLS, non-consecutive-edges-only) kernel must soft-disable
+    the poison: ate(poisoned, robust) ≈ ate(clean, robust) while the plain
+    LM is dragged off. This is the "beat the reference" half of its LC
+    acceptance gate (reference src/LidarOdometry.cpp:809-816 accepts on ICP
+    goodness alone and delegates trust to gtsam's robust noise models)."""
+    from mola_fe_lidar_tpu.frontend.backend import FactorRelativePose3
+    from mola_fe_lidar_tpu.geometry import se3
+
+    backend = res["backend"]
+    kf_ids = sorted(backend.keyframes)
+    a, b = kf_ids[0], kf_ids[len(kf_ids) // 2]
+    # a wildly wrong hypothesis: 20 m lateral + 40 deg yaw
+    cy, sy = np.cos(0.7), np.sin(0.7)
+    Rbad = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    bad = FactorRelativePose3(
+        kf_from=a, kf_to=b,
+        rel_pose=se3.Pose(R=Rbad, t=np.array([20.0, -15.0, 0.0])))
+    out = {"ate_clean_robust": eval_scan_ate(
+        backend, backend.optimized_poses(robust=robust), obs, gt)}
+    backend.factors.append(bad)
+    try:
+        out["ate_poisoned_plain"] = eval_scan_ate(
+            backend, backend.optimized_poses(robust="none"), obs, gt)
+        out["ate_poisoned_robust"] = eval_scan_ate(
+            backend, backend.optimized_poses(robust=robust), obs, gt)
+    finally:
+        backend.factors.pop()
+    out["injected_pair"] = [int(a), int(b)]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=500)
@@ -85,6 +138,13 @@ def main():
                     help="comma list of: local_map (scan-to-map + deskew), "
                          "local_map_nodeskew, deskew, no_deskew (both "
                          "scan-to-scan)")
+    ap.add_argument("--route", default="block",
+                    choices=["block", "snake", "outback"],
+                    help="trajectory (obs.hdl64.make_route): 'snake' is the "
+                         "1.74 km loop-closing route with KITTI-length "
+                         "straights; 'outback' the CPU-smoke out-and-back")
+    ap.add_argument("--speed", type=float, default=8.0,
+                    help="cruise speed m/s (corners are lat-accel limited)")
     ap.add_argument("--sim-cache", action="store_true",
                     help="cache the simulated sequence in /tmp (ablations)")
     ap.add_argument("--override", action="append", default=[],
@@ -93,6 +153,13 @@ def main():
     ap.add_argument("--pgo", action="store_true",
                     help="also run the device pose-graph optimizer over the "
                          "factor stream and record *_pgo metric rows")
+    ap.add_argument("--pgo-robust", default="none",
+                    choices=["none", "huber", "cauchy"],
+                    help="robust kernel for the *_pgo rows")
+    ap.add_argument("--inject-false-lc", action="store_true",
+                    help="after replay, inject one false loop-closure "
+                         "factor and record the clean/poisoned/robust "
+                         "PGO ATE triplet (requires --pgo)")
     ap.add_argument("--out", default=str(REPO / "docs" / "accuracy.json"))
     ap.add_argument("--dump-traj", default="",
                     help="directory for per-config est/gt trajectory npz")
@@ -119,7 +186,8 @@ def main():
 
     t0 = time.perf_counter()
     cache = (Path("/tmp") / f"hdl64_{args.scans}_{args.azimuth}_"
-             f"{args.moving_cars}.pkl" if args.sim_cache else None)
+             f"{args.moving_cars}_{args.route}_{args.speed:g}.pkl"
+             if args.sim_cache else None)
     if cache is not None and cache.exists():
         import pickle
         with open(cache, "rb") as fh:
@@ -127,7 +195,8 @@ def main():
         print(f"loaded cached sim {cache}", file=sys.stderr)
     else:
         obs, gt = hdl64_sequence(n_scans=args.scans, n_azimuth=args.azimuth,
-                                 moving_cars=args.moving_cars)
+                                 moving_cars=args.moving_cars,
+                                 route_kind=args.route, speed=args.speed)
         if cache is not None:
             import pickle
             with open(cache, "wb") as fh:
@@ -149,15 +218,27 @@ def main():
                         scale=args.azimuth / 2048,
                         local_map=name.startswith("local_map"),
                         overrides=args.override)
-        res = run_replay(obs, cfg, gt_poses=gt, pgo=args.pgo)
+        res = run_replay(obs, cfg, gt_poses=gt, pgo=args.pgo,
+                         pgo_robust=args.pgo_robust)
         row = {k: res[k] for k in (
             "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",
+            "jobs_abandoned",
             "ate_rmse", "rpe_trans", "rpe_rot",
             "ate_rmse_scan", "rpe_trans_scan", "rpe_rot_scan",
             "kitti_t_rel_pct", "kitti_r_rel_deg_per_m", "kitti_segments",
             "ate_rmse_pgo", "ate_rmse_scan_pgo",
             "kitti_t_rel_pct_pgo") if k in res}
         row["scans_per_sec"] = res["n_scans"] / max(res["wall_s"], 1e-9)
+        # loop-closure audit (VERDICT r3 #2): count = checks, total = accepts
+        pstats = res["module"].profiler.stats()
+        for kind in ("lc", "nearby"):
+            c = pstats.get(f"counter:checkNonAdjacent.{kind}.accepted")
+            row[f"n_{kind}_checked"] = int(c["count"]) if c else 0
+            row[f"n_{kind}_accepted"] = int(c["total"]) if c else 0
+        if args.inject_false_lc and args.pgo:
+            row["false_lc_study"] = false_lc_study(
+                res, obs, gt, args.pgo_robust
+                if args.pgo_robust != "none" else "cauchy")
         # trajectory length for percentage-style drift numbers
         length = sum(float(np.linalg.norm(gt[i + 1][1] - gt[i][1]))
                      for i in range(len(gt) - 1))
@@ -167,12 +248,16 @@ def main():
                 100.0 * row["ate_rmse_scan"] / length, 4)
         mod = res["module"]
         row["profile"] = mod.profiler.stats()
-        # an overridden run is a different experiment: key BOTH the row and
-        # the trajectory dump so neither silently replaces a default-config
-        # artifact
+        # an overridden or re-routed run is a different experiment: key BOTH
+        # the row and the trajectory dump so neither silently replaces a
+        # default-config artifact
         if args.override:
             row["overrides"] = list(args.override)
             name = name + "+" + ",".join(args.override)
+        if args.route != "block":
+            row["route"] = args.route
+            row["scans"] = args.scans
+            name = f"{args.route}:{name}"
         if args.dump_traj:
             d = Path(args.dump_traj)
             d.mkdir(parents=True, exist_ok=True)
@@ -192,16 +277,20 @@ def main():
     out = {"device": device, "scans": args.scans, "azimuth": args.azimuth,
            "rays_per_scan": args.azimuth * 64,
            "moving_cars": args.moving_cars,
+           "route": args.route, "speed": args.speed,
            "operating_point": "kitti-default.yaml (voxel 1.0 m, KF 3 m)",
            "results": results}
-    # merge: a partial rerun (--configs local_map) keeps the other
-    # configs' recorded rows as long as the operating point matches
+    # merge: a partial rerun (--configs local_map) or another-route run
+    # keeps the other recorded rows as long as the sensor operating point
+    # matches (non-default routes key their rows "route:config" and carry
+    # their own route/scans fields, so rows never collide across routes;
+    # top-level scans/route describe the LAST run only)
     prev_path = Path(args.out)
     if prev_path.exists():
         try:
             prev = json.loads(prev_path.read_text())
             if all(prev.get(k) == out[k] for k in
-                   ("device", "scans", "azimuth", "moving_cars")):
+                   ("device", "azimuth", "moving_cars")):
                 merged = dict(prev.get("results", {}))
                 merged.update(results)
                 out["results"] = merged

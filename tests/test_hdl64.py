@@ -214,3 +214,61 @@ class TestPerScanTrajectory:
         ts, (R, t) = traj[0]
         np.testing.assert_allclose(t, [10.0, 1.0, 0.0], atol=1e-6)
         be.shutdown()
+
+
+class TestRoutes:
+    """Named routes (obs.hdl64.make_route): geometric preconditions of the
+    end-to-end loop-closure and long-drift demonstrations (VERDICT r3 #2/#7
+    — reference src/LidarOdometry.cpp:746-849 is the LC path being fed)."""
+
+    def _clearance(self, world, route, n=600):
+        ts = np.linspace(0, route.lap_time, n, endpoint=False)
+        pts = np.array([route(t)[1][:2] for t in ts])
+        worst = np.inf
+        for b in world.boxes:
+            lo, hi = b.lo[:2], b.hi[:2]
+            d = np.linalg.norm(
+                np.maximum(np.maximum(lo - pts, pts - hi), 0), axis=1)
+            inside = np.all((pts > lo) & (pts < hi), axis=1)
+            d = np.where(inside, -1.0, d)
+            worst = min(worst, float(d.min()))
+        return worst, pts, ts
+
+    def test_snake_is_long_clear_and_revisits(self):
+        from mola_fe_lidar_tpu.obs.hdl64 import make_route
+
+        world = HDL64World()
+        r = make_route("snake", world)
+        assert r.total_length >= 1500.0  # KITTI-length segments exist
+        worst, pts, ts = self._clearance(world, r)
+        assert worst > 2.0, f"route clips a building ({worst:.1f} m)"
+        # ≥300 m of straight-line driving (official 100-800 m segments)
+        # and a revisit: some pose returns within the LC window (6-30 m)
+        # of a pose ≥600 m of arc earlier — the loop-closure precondition
+        arc = np.concatenate(
+            [[0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=1))])
+        d2 = np.linalg.norm(pts[None] - pts[:, None], axis=-1)
+        sep = np.abs(arc[None] - arc[:, None])
+        lc_pairs = (d2 > 6.0) & (d2 < 30.0) & (sep > 600.0)
+        assert lc_pairs.any(), "no revisit inside the loop-closure window"
+
+    def test_outback_revisits_quickly(self):
+        from mola_fe_lidar_tpu.obs.hdl64 import make_route
+
+        world = HDL64World()
+        r = make_route("outback", world, speed=16.0)
+        worst, pts, ts = self._clearance(world, r)
+        assert worst > 2.0
+        arc = np.concatenate(
+            [[0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=1))])
+        d2 = np.linalg.norm(pts[None] - pts[:, None], axis=-1)
+        sep = np.abs(arc[None] - arc[:, None])
+        # the return pass gives LC-window pairs at >=60 m topological
+        # separation (min_topo_dist 20 KFs x 3 m) well inside one lap
+        assert ((d2 > 6.0) & (d2 < 30.0) & (sep > 90.0)).any()
+
+    def test_unknown_kind_raises(self):
+        from mola_fe_lidar_tpu.obs.hdl64 import make_route
+
+        with pytest.raises(ValueError):
+            make_route("zigzag", HDL64World())
