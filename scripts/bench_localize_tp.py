@@ -108,10 +108,18 @@ def run_localize(args):
         res, ms = _timed(lambda s=scan, g=init: loc.localize(s, g),
                          lambda r: np.asarray(r.quality), iters=args.iters)
         err = float(se3.translation_norm(se3.compose(res.pose, se3.inverse(true))))
+        # the multi-start consistency gate (VERDICT r3 #6): a row with
+        # accepted=False is a FLAGGED answer — its pose must not be trusted,
+        # and its trans_err does not count against the accepted-error bound
         rows.append({"scan": i, "latency_ms": round(ms, 2),
                      "quality": round(float(res.quality), 4),
                      "n_iter": int(res.n_iterations),
-                     "trans_err_m": round(err, 4)})
+                     "trans_err_m": round(err, 4),
+                     "accepted": bool(res.accepted),
+                     "reject_reason": res.reject_reason,
+                     "n_agree": int(res.n_agree),
+                     "n_starts": int(res.n_starts),
+                     "correction_m": round(float(res.correction_m), 3)})
         print(json.dumps(rows[-1]), file=sys.stderr)
 
     # raw single-chip align anchors at 32k / 131k target capacity (TP=1)
