@@ -265,6 +265,31 @@ class LidarOdometryParameters:
     # preserves the late-iteration descent while suppressing wild
     # reassignments to distant planes inside the 1.5 m threshold).
     local_map_cand_k: int = 4
+    # Extend the candidate cache to the kNN-neighborhood matchers on map
+    # stages (point2line/point2plane_knn, which otherwise re-run a full kNN
+    # against the map layer EVERY iteration — the per-iteration cost the
+    # point-matchers already shed). cand_k = max(local_map_cand_k, knn).
+    # Default off pending the accuracy ablation (realtime operating point).
+    local_map_cand_knn: bool = False
+    # Cap outer ICP iterations on map-align stages (0 = keep stage values).
+    # Only meaningful with local_map_max_match_distance > 0: capping while
+    # the wide-threshold recruiting crawl is active truncates real descent
+    # (same failure as the min_abs_step floor, docs/accuracy.md ablation).
+    local_map_max_iterations: int = 0
+    # Override matcher nn_backend on map-align stages ("" = keep). "mxu"
+    # routes full-map NN through the bf16x3 candidates + exact-f32-rescore
+    # path (ops/matching.py::knn_mxu) — the MXU fast path at 8k+ targets.
+    local_map_nn_backend: str = ""
+    # Apply the truncating levers (max_match_distance, max_iterations) only
+    # to the WITH-velocity-prior align case (AlignKind.LIDAR_ODOMETRY).
+    # Cold-start / post-outage scans dispatch the without-vel case
+    # (reference src/LidarOdometry.cpp:287-290) with a raw world-pose
+    # guess that can sit a full scan displacement off the map — the tight
+    # threshold then starves correspondences and the odometry never locks
+    # on (observed: 11 consecutive failed map aligns from a cold start).
+    # Those rare scans keep the wide recruiting stages; the steady state
+    # (validated twist => prior within cm of truth) runs tight and fast.
+    local_map_tight_requires_prior: bool = True
     # Motion-conditional candidate refresh for the (unbatched) scan-to-map
     # align (ICPParams.cand_refresh_min_*): a block-head refresh is skipped
     # unless the pose moved past these thresholds since the LAST refresh.
@@ -483,6 +508,15 @@ class LidarOdometry(FrontEndBase):
         p.local_map_max_match_distance = float(
             g("local_map_max_match_distance", p.local_map_max_match_distance))
         p.local_map_cand_k = int(g("local_map_cand_k", p.local_map_cand_k))
+        p.local_map_cand_knn = bool(
+            g("local_map_cand_knn", p.local_map_cand_knn))
+        p.local_map_max_iterations = int(
+            g("local_map_max_iterations", p.local_map_max_iterations))
+        p.local_map_nn_backend = str(
+            g("local_map_nn_backend", p.local_map_nn_backend))
+        p.local_map_tight_requires_prior = bool(
+            g("local_map_tight_requires_prior",
+              p.local_map_tight_requires_prior))
         p.local_map_cand_motion_trans = float(
             g("local_map_cand_motion_trans", p.local_map_cand_motion_trans))
         p.local_map_cand_motion_rot = float(
@@ -1024,10 +1058,16 @@ class LidarOdometry(FrontEndBase):
         if not for_map:
             return stages
         p = self.params
+        # the truncating levers only bind when the velocity prior backs
+        # them up (see local_map_tight_requires_prior parameter docs);
+        # `kind` is already the with/without-vel case split, and is part
+        # of the fused-step cache key, so this costs no extra compiles
+        tight = (kind == AlignKind.LIDAR_ODOMETRY
+                 or not p.local_map_tight_requires_prior)
         out = []
         for s in stages:
             matchers = s.matchers
-            if p.local_map_max_match_distance > 0:
+            if tight and p.local_map_max_match_distance > 0:
                 matchers = tuple(dataclasses.replace(
                     m, distance_threshold=min(
                         m.distance_threshold, p.local_map_max_match_distance))
@@ -1038,6 +1078,19 @@ class LidarOdometry(FrontEndBase):
                     dataclasses.replace(m, cand_k=p.local_map_cand_k)
                     if m.kind in _CAND_KINDS else m
                     for m in matchers)
+            if p.local_map_cand_knn and p.local_map_cand_k > 0:
+                from ..models.icp import _CAND_KNN_KINDS
+                # knn+3 slack so the between-refresh re-argmin can actually
+                # reassign the neighborhood as the pose moves (cand_k == knn
+                # would freeze the support set between block heads)
+                matchers = tuple(
+                    dataclasses.replace(
+                        m, cand_k=max(p.local_map_cand_k, m.knn + 3))
+                    if m.kind in _CAND_KNN_KINDS else m
+                    for m in matchers)
+            if p.local_map_nn_backend:
+                matchers = tuple(dataclasses.replace(
+                    m, nn_backend=p.local_map_nn_backend) for m in matchers)
             solver = s.solver
             step_t = max(s.min_abs_step_trans, p.local_map_min_abs_step_trans)
             step_r = max(s.min_abs_step_rot, p.local_map_min_abs_step_rot)
@@ -1061,6 +1114,9 @@ class LidarOdometry(FrontEndBase):
                 solver=solver,
                 min_abs_step_trans=step_t,
                 min_abs_step_rot=step_r)
+            if tight and p.local_map_max_iterations > 0:
+                repl["max_iterations"] = min(
+                    s.max_iterations, p.local_map_max_iterations)
             if p.local_map_cand_motion_trans > 0:
                 repl["cand_refresh_min_trans"] = p.local_map_cand_motion_trans
             if p.local_map_cand_motion_rot > 0:

@@ -119,7 +119,15 @@ def _refresh_cands(m: Matcher, pose, src, tgt) -> jax.Array:
     """Top-K candidate indices per source point at the current pose (the
     TPU top-k unit; exact on CPU)."""
     sp = se3.transform(pose, src.xyz)
-    nn = matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.cand_k)
+    if m.nn_backend == "mxu":
+        # bf16x3 MXU candidates + exact f32 rescore (ops/matching.knn_mxu):
+        # ~2x the f32-HIGHEST expansion of approx_knn at 8k+ targets, and
+        # the rescore restores exact top-cand_k ordering
+        nn = matching_ops.knn_mxu(sp, src.mask, tgt.xyz, tgt.mask,
+                                  k=m.cand_k, cand_k=max(16, 2 * m.cand_k))
+    else:
+        nn = matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask,
+                                     k=m.cand_k)
     return nn.idx
 
 

@@ -131,7 +131,15 @@ def run_replay(observations, cfg: Optional[dict] = None,
     """
     backend = OptimizingBackend()
     module = build_module(cfg, backend=backend)
+    # steady-state online rate: drain the pipeline once after the first few
+    # scans (where the jit compiles land) and time the remainder separately.
+    # scans_per_sec (wall incl. compiles) answers "how long did the replay
+    # take"; scans_per_sec_steady answers the reference's admission-rate
+    # question (online sensor-rate operation, params/kitti-default.yaml:5)
+    n_total = len(observations) if hasattr(observations, "__len__") else 0
+    warmup = min(25, n_total // 5)
     t0 = time.perf_counter()
+    t_steady, n_fed = None, 0
     for obs in observations:
         if not realtime:
             # replay is lossless: throttle the feed instead of tripping the
@@ -141,11 +149,22 @@ def run_replay(observations, cfg: Optional[dict] = None,
                     if module._pending <= module.params.max_queue_length // 2:
                         break
                 time.sleep(0.002)
+        if n_fed == warmup and warmup > 0:
+            while True:  # barrier: let the warmup scans finish entirely
+                with module._pending_lock:
+                    if module._pending == 0:
+                        break
+                time.sleep(0.002)
+            t_steady = time.perf_counter()
         module.on_new_observation(obs)
+        n_fed += 1
         if realtime:
             time.sleep(0.01)
     jobs_abandoned = module.drain()
-    wall = time.perf_counter() - t0
+    t_end = time.perf_counter()
+    wall = t_end - t0
+    steady = ((n_total - warmup) / max(t_end - t_steady, 1e-9)
+              if t_steady is not None and n_total > warmup else None)
 
     kf_poses = estimated_trajectory(module)
     kf_pgo = (backend.optimized_poses(robust=pgo_robust)
@@ -158,6 +177,9 @@ def run_replay(observations, cfg: Optional[dict] = None,
         # nonzero = the drain timed out with jobs in flight; their factors
         # were LOST. Harnesses assert this is 0 (VERDICT r2 #8).
         "jobs_abandoned": jobs_abandoned,
+        # post-warmup throughput (first-compile cost excluded); None when
+        # the replay is too short to split
+        "scans_per_sec_steady": steady,
         "kf_poses": kf_poses,
         "backend": backend,
         "module": module,

@@ -240,6 +240,63 @@ class TestMapStageFloor:
             assert s1.solver.max_iterations == s0.solver.max_iterations
         m.shutdown()
 
+    def test_realtime_knobs_apply_to_map_stages(self):
+        """local_map_max_iterations caps outer iterations, _nn_backend
+        overrides the matcher NN route, and _cand_knn opts the kNN-kind
+        matchers into the candidate cache — map stages only (the realtime
+        operating point's levers; all default off)."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+        from mola_fe_lidar_tpu.models.icp import _CAND_KNN_KINDS
+
+        m = LidarOdometry()
+        m.initialize({"params": {
+            "odometry_reference": "local_map",
+            "local_map_max_iterations": 12,
+            "local_map_nn_backend": "mxu",
+            "local_map_cand_knn": True,
+        }})
+        kind = AlignKind.LIDAR_ODOMETRY
+        for s0, s1 in zip(m.icp_cases[kind], m._stages_for(kind, True)):
+            assert s1.max_iterations == min(s0.max_iterations, 12)
+            for m0, m1 in zip(s0.matchers, s1.matchers):
+                assert m1.nn_backend == "mxu"
+                if m1.kind in _CAND_KNN_KINDS:
+                    assert m1.cand_k == max(4, m1.knn + 3)
+        # scan-to-scan untouched
+        assert m._stages_for(kind, False) == m.icp_cases[kind]
+        # the without-vel (cold-start) map case keeps the wide recruiting
+        # stages: the truncating levers require the velocity prior
+        cold = AlignKind.NEARBY_ALIGN
+        for s0, s1 in zip(m.icp_cases[cold], m._stages_for(cold, True)):
+            assert s1.max_iterations == s0.max_iterations
+            for m0, m1 in zip(s0.matchers, s1.matchers):
+                assert m1.distance_threshold == m0.distance_threshold
+                # the non-truncating accelerations still apply
+                assert m1.nn_backend == "mxu"
+        m.shutdown()
+
+    def test_tight_requires_prior_opt_out(self):
+        """local_map_tight_requires_prior=false restores unconditional
+        tightening (both align kinds capped)."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {
+            "odometry_reference": "local_map",
+            "local_map_max_match_distance": 0.6,
+            "local_map_max_iterations": 9,
+            "local_map_tight_requires_prior": False,
+        }})
+        for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
+            for s0, s1 in zip(m.icp_cases[kind], m._stages_for(kind, True)):
+                assert s1.max_iterations == min(s0.max_iterations, 9)
+                for m0, m1 in zip(s0.matchers, s1.matchers):
+                    assert m1.distance_threshold == min(
+                        m0.distance_threshold, 0.6)
+        m.shutdown()
+
     def test_distance_cap_applies_to_map_matchers(self):
         from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
         from mola_fe_lidar_tpu.models.config import AlignKind
