@@ -56,17 +56,21 @@ class Matcher:
     # and to the exact scan-merge on CPU. Exact is forced under tensor
     # parallelism.
     approx_knn: bool = True
-    # 1-NN backend: "auto" resolves by measured crossover
-    # (docs/nn_crossover.json, models/icp.py::_resolve_backend): on TPU the
-    # XLA tiled scan at <= 4096 target points (fuses well under vmap), the
-    # fused Pallas kernel above (exact, compiles in seconds at any size,
-    # while the XLA scan's remote compile blows up past ~8k); CPU always
-    # XLA. The voxel-hash "grid" is gather-bound and loses to brute force
-    # on TPU at all sizes, kept for radius-limited semantics. "mxu" runs
-    # the single-pass bf16 cross-term candidate pass on the MXU and
-    # re-scores the top candidates exactly in f32 difference form
-    # (ops/matching.py::knn_mxu; recall measured in docs/nn_crossover.json).
-    # Explicit values: "xla", "pallas", "grid", "mxu".
+    # 1-NN backend: "auto" resolves by measured IN-LOOP crossover
+    # (docs/nn_crossover.json loop10 columns; models/icp.py::
+    # _resolve_backend): on TPU, "fused" — the distance expansion fused
+    # into `lax.approx_min_k` (MXU cross term at HIGHEST precision, no
+    # [N, M] materialization; recall@1 measured 1.0 at 8k/32k, distances
+    # carry ~1e-3 m cancellation noise) — wins at every size and under
+    # vmap, where both the Pallas kernels and the XLA tiled scan
+    # serialize. CPU always XLA (exact tiled scan). The voxel-hash "grid"
+    # is gather-bound and loses to brute force on TPU at all sizes, kept
+    # for radius-limited semantics. "mxu" runs the bf16x3 cross-term
+    # candidate pass on the MXU and re-scores the top candidates exactly
+    # in f32 difference form (ops/matching.py::knn_mxu) — ~2-6x slower
+    # in-loop than "fused" but exact (recall >= 0.999): use it where
+    # exactness is consumed sparsely (candidate-cache refreshes, map
+    # localization). Explicit: "fused", "xla", "pallas", "grid", "mxu".
     nn_backend: str = "auto"
     # Candidate-cached matching (1-NN kinds only: point2point /
     # point2plane_normals). 0 = off (full NN every iteration, reference

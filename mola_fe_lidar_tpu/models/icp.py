@@ -67,14 +67,19 @@ _AXES = np.eye(3, dtype=np.float32)  # numpy: safe under lazy import in a trace
 
 
 def _resolve_backend(backend: str, tgt_points: int) -> str:
-    """Resolve "auto" by measured crossover (docs/nn_crossover.json): the
-    XLA tiled scan wins at scan sizes (fuses well under vmap) but its
-    remote compile blows up past ~8k points; the fused Pallas kernel wins
-    above 4k and compiles in seconds at any size. CPU always uses XLA."""
+    """Resolve "auto" by measured IN-LOOP crossover (docs/nn_crossover.json
+    loop10 columns — round 2 chose from standalone per-call timings, which
+    the ~25 ms tunnel round-trip dominated, and picked Pallas at >4k; the
+    in-loop truth is that the fused expansion + ``approx_min_k`` path wins
+    at EVERY size, 0.4-3 ms/iteration where Pallas pays 1.1-5.5 and both
+    Pallas and the XLA tiled scan serialize under vmap: 29 ms vs 155 ms
+    for a vmapped 8x2048 10-iteration loop). recall@1 measured 1.0 at 8k
+    and 32k; distances carry ~1e-3 m cancellation noise from the expansion
+    form (thresholds are >= 0.1 m everywhere). CPU always uses XLA."""
     if backend != "auto":
         return backend
-    if jax.default_backend() == "tpu" and tgt_points > 4096:
-        return "pallas"
+    if jax.default_backend() == "tpu":
+        return "fused"
     return "xla"
 
 
@@ -89,6 +94,9 @@ def _nn_1(sp, src_mask, tgt, tile: int, backend: str):
     if backend == "mxu":
         return matching_ops.nearest_neighbors_mxu(
             sp, src_mask, tgt.xyz, tgt.mask)
+    if backend == "fused":
+        nn = matching_ops.approx_knn(sp, src_mask, tgt.xyz, tgt.mask, k=1)
+        return matching_ops.NNResult(nn.idx[..., 0], nn.dist[..., 0])
     return matching_ops.nearest_neighbors(sp, src_mask, tgt.xyz, tgt.mask,
                                           tile=tile)
 
@@ -223,6 +231,9 @@ def _match_one(
             nnk = lambda: matching_ops.knn_mxu(
                 sp, src.mask, tgt.xyz, tgt.mask, k=m.knn,
                 cand_k=max(32, 4 * m.knn))
+        elif backend == "fused" and jax.default_backend() != "cpu":
+            nnk = lambda: matching_ops.approx_knn(
+                sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
         elif m.approx_knn and jax.default_backend() != "cpu":
             nnk = lambda: matching_ops.approx_knn(sp, src.mask, tgt.xyz, tgt.mask, k=m.knn)
         elif backend == "pallas" and jax.default_backend() == "tpu":

@@ -127,10 +127,11 @@ def main():
         jtgt, jtmask = jnp.asarray(tgt), jnp.asarray(tmask)
 
         tree = cKDTree(tgt[tmask > 0.5])
-        dk_ref, _ = tree.query(src, k=K)
+        dk_ref, ik_ref = tree.query(src, k=K)
         d1_ref = dk_ref[:, 0]
+        i1_ref = ik_ref[:, 0]
 
-        def bench(name, kind, fn, ref, radius=None):
+        def bench(name, kind, fn, ref, radius=None, idx_ref=None):
             try:
                 compile_s, per_call, amort = time_call(fn, jsrc, args.reps)
                 out = fn(jsrc)
@@ -146,6 +147,13 @@ def main():
                        "per_call_ms": round(per_call * 1e3, 3),
                        "device_ms": round(amort * 1e3, 3),
                        "recall": round(rec, 4)}
+                if idx_ref is not None:
+                    # index-level recall: immune to the expansion form's
+                    # ~1e-3 m distance noise (which the distance-match
+                    # recall above counts as a miss)
+                    idx = np.asarray(out.idx)
+                    row["recall_idx"] = round(
+                        float(np.mean(idx[ok] == idx_ref[ok])), 4)
             except Exception as e:  # noqa: BLE001
                 row = {"backend": name, "kind": kind, "n": n,
                        "error": f"{type(e).__name__}: {e}"[:200]}
@@ -173,6 +181,15 @@ def main():
                 s, jsmask, jtgt, jtmask, k=K), dk_ref)
 
         # ---- 1-NN backends ----
+        # the engine's auto default on TPU (models/icp.py::_resolve_backend):
+        # distance expansion fused into approx_min_k(k=1) — never
+        # materializes [N, M], vmaps efficiently (Pallas/XLA scans
+        # serialize under vmap: 29 vs 155 ms for a vmapped 8x2048
+        # 10-iteration loop)
+        def _fused1(s):
+            nn = matching.approx_knn(s, jsmask, jtgt, jtmask, k=1)
+            return matching.NNResult(nn.idx[..., 0], nn.dist[..., 0])
+        bench("fused_1nn", "1nn", _fused1, d1_ref, idx_ref=i1_ref)
         bench("pallas_1nn", "1nn", lambda s: _as_nn(
             pallas_nn.pallas_nearest_neighbors(s, jsmask, jtgt, jtmask)), d1_ref)
         bench("mxu_1nn", "1nn", lambda s: _as_nn(
