@@ -280,6 +280,21 @@ class LidarOdometryParameters:
     # routes full-map NN through the bf16x3 candidates + exact-f32-rescore
     # path (ops/matching.py::knn_mxu) — the MXU fast path at 8k+ targets.
     local_map_nn_backend: str = ""
+    # Subsample the paired-ratio quality source on map-align stages
+    # (Quality.max_points — unbiased mean estimator, ±~0.01 at 8192
+    # samples): the full-layer quality 1-NN is the align's single most
+    # expensive fixed op at 32k map capacities. 0 = evaluate every point.
+    local_map_quality_max_points: int = 8192
+    # Cap outer iterations of the nearby-keyframe batch aligns (0 = keep
+    # stage values, reference maxIterations 100). Nearby aligns start from
+    # graph-estimated relative guesses that are already within the final
+    # basin; their vmapped while_loop otherwise runs every lane to the
+    # slowest straggler's 100-iteration budget behind the scan pipeline.
+    nearby_max_iterations: int = 0
+    # Extend the candidate cache to the kNN-neighborhood matchers in the
+    # nearby batch (same trade as local_map_cand_knn; requires
+    # nearby_cand_k > 0).
+    nearby_cand_knn: bool = False
     # Apply the truncating levers (max_match_distance, max_iterations) only
     # to the WITH-velocity-prior align case (AlignKind.LIDAR_ODOMETRY).
     # Cold-start / post-outage scans dispatch the without-vel case
@@ -517,6 +532,11 @@ class LidarOdometry(FrontEndBase):
         p.local_map_tight_requires_prior = bool(
             g("local_map_tight_requires_prior",
               p.local_map_tight_requires_prior))
+        p.local_map_quality_max_points = int(
+            g("local_map_quality_max_points", p.local_map_quality_max_points))
+        p.nearby_max_iterations = int(
+            g("nearby_max_iterations", p.nearby_max_iterations))
+        p.nearby_cand_knn = bool(g("nearby_cand_knn", p.nearby_cand_knn))
         p.local_map_cand_motion_trans = float(
             g("local_map_cand_motion_trans", p.local_map_cand_motion_trans))
         p.local_map_cand_motion_rot = float(
@@ -1114,6 +1134,12 @@ class LidarOdometry(FrontEndBase):
                 solver=solver,
                 min_abs_step_trans=step_t,
                 min_abs_step_rot=step_r)
+            if p.local_map_quality_max_points > 0:
+                # statistics, not truncation: applied to BOTH align kinds
+                repl["quality"] = tuple(
+                    dataclasses.replace(
+                        q, max_points=p.local_map_quality_max_points)
+                    for q in s.quality)
             if tight and p.local_map_max_iterations > 0:
                 repl["max_iterations"] = min(
                     s.max_iterations, p.local_map_max_iterations)
@@ -1531,11 +1557,24 @@ class LidarOdometry(FrontEndBase):
         basin search needs the unrestricted NN pull.
         """
         stages = self.icp_cases[AlignKind.NEARBY_ALIGN]
-        if self.params.nearby_cand_k > 0:
+        p = self.params
+        if p.nearby_cand_k > 0:
             from ..models.icp import _CAND_KINDS
             stages = tuple(dataclasses.replace(s, matchers=tuple(
-                dataclasses.replace(mm, cand_k=self.params.nearby_cand_k)
+                dataclasses.replace(mm, cand_k=p.nearby_cand_k)
                 if mm.kind in _CAND_KINDS else mm for mm in s.matchers))
+                for s in stages)
+        if p.nearby_cand_knn and p.nearby_cand_k > 0:
+            from ..models.icp import _CAND_KNN_KINDS
+            stages = tuple(dataclasses.replace(s, matchers=tuple(
+                dataclasses.replace(
+                    mm, cand_k=max(p.nearby_cand_k, mm.knn + 3))
+                if mm.kind in _CAND_KNN_KINDS else mm for mm in s.matchers))
+                for s in stages)
+        if p.nearby_max_iterations > 0:
+            stages = tuple(dataclasses.replace(
+                s, max_iterations=min(s.max_iterations,
+                                      p.nearby_max_iterations))
                 for s in stages)
         return stages
 

@@ -471,6 +471,17 @@ def _quality(pose, src_map, tgt_map, params: ICPParams, tile: int) -> jax.Array:
             raise ValueError(f"unknown quality kind {qc.kind!r}")
         src = src_map[qc.src_layer]
         tgt = tgt_map[qc.tgt_layer]
+        sxyz, smask = src.xyz, src.mask
+        n = sxyz.shape[-2]
+        if qc.max_points and n > qc.max_points:
+            # static hash-decorrelated subsample (see Quality.max_points);
+            # numpy at trace time — one gather, no data-dependent shapes.
+            # Masked slots sampled in contribute weight 0 to the ratio.
+            sel = jnp.asarray(np.sort(np.random.default_rng(
+                0xC0FFEE).permutation(n)[:qc.max_points]))
+            sxyz = jnp.take(sxyz, sel, axis=-2)
+            smask = jnp.take(smask, sel, axis=-1)
+        src = src._replace(xyz=sxyz, mask=smask)
         sp = se3.transform(pose, src.xyz)
         if params.shard_axis is None:
             nn = _nn_1(sp, src.mask, tgt, tile, "auto")

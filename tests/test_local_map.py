@@ -434,3 +434,70 @@ class TestDegeneratePrior:
         assert abs(tau[5] - 0.02) < 0.01, tau
         # unobservable corridor axis pinned to the guess, no slide
         assert abs(t[0]) < 0.25, t
+
+
+class TestRealtimeLatencyKnobs:
+    def test_quality_subsample_applies_to_map_stages(self):
+        """local_map_quality_max_points (default 8192) patches
+        Quality.max_points onto BOTH map align kinds (statistics, not
+        truncation); scan-to-scan stages keep full-layer quality."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {"odometry_reference": "local_map"}})
+        for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
+            for s in m._stages_for(kind, True):
+                assert all(q.max_points == 8192 for q in s.quality)
+            for s in m._stages_for(kind, False):
+                assert all(q.max_points == 0 for q in s.quality)
+        m.shutdown()
+
+    def test_quality_subsample_unbiased(self):
+        """Subsampled paired-ratio quality tracks the full evaluation."""
+        import numpy as np
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.cloud import from_points
+        from mola_fe_lidar_tpu.geometry import se3
+        from mola_fe_lidar_tpu.models import ICPParams, Matcher, Quality, Solver
+        from mola_fe_lidar_tpu.models.icp import align
+
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-20, 20, (4096, 3)).astype(np.float32)
+        src = {"raw": from_points(pts, capacity=4096)}
+        tgt = {"raw": from_points(
+            (pts + rng.normal(0, 0.03, pts.shape)).astype(np.float32),
+            capacity=4096)}
+        base = ICPParams(
+            max_iterations=1,
+            matchers=(Matcher(kind="point2point", distance_threshold=0.5),),
+            solver=Solver(kind="horn"),
+            quality=(Quality(threshold_distance=0.10),))
+        import dataclasses
+        sub = dataclasses.replace(base, quality=(
+            Quality(threshold_distance=0.10, max_points=1024),))
+        qf = float(align(src, tgt, se3.identity(), base).quality)
+        qs = float(align(src, tgt, se3.identity(), sub).quality)
+        assert 0.2 < qf < 1.0
+        assert abs(qf - qs) < 0.05, (qf, qs)
+
+    def test_nearby_caps(self):
+        """nearby_max_iterations caps the batch stages; nearby_cand_knn
+        opts the kNN matchers into the candidate cache."""
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+        from mola_fe_lidar_tpu.models.icp import _CAND_KNN_KINDS
+
+        m = LidarOdometry()
+        m.initialize({"params": {
+            "nearby_max_iterations": 25,
+            "nearby_cand_knn": True,
+        }})
+        for s0, s1 in zip(m.icp_cases[AlignKind.NEARBY_ALIGN],
+                          m._nearby_stages()):
+            assert s1.max_iterations == min(s0.max_iterations, 25)
+            for mm in s1.matchers:
+                if mm.kind in _CAND_KNN_KINDS:
+                    assert mm.cand_k == max(m.params.nearby_cand_k,
+                                            mm.knn + 3)
+        m.shutdown()
