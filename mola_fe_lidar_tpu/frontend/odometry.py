@@ -325,6 +325,14 @@ class LidarOdometryParameters:
     # latency). The reference's 20-inner operating point is on the
     # accuracy-latency frontier.
     local_map_gn_inner: int = 0
+    # Build the rolling-map aggregate ON DEVICE (local_map.DeviceLocalMap):
+    # keyframe layers stay as the fixed-capacity device arrays the fused
+    # step produced, and the transform→dedup→compact build is one jitted
+    # dispatch (~10 ms) instead of ~250 ms of np.unique on the pipeline
+    # thread — required for the 10 Hz online operating point. Falls back
+    # to the host builder when local_map_min_views > 1 (the multi-view
+    # transient filter is host-only).
+    local_map_device_build: bool = True
     # Transient (dynamic-object) suppression in the rolling map: a world
     # voxel must be seen by >= this many distinct keyframes to stay in the
     # map (newest `protect_recent` keyframes exempt — fresh territory).
@@ -542,6 +550,8 @@ class LidarOdometry(FrontEndBase):
         p.local_map_cand_motion_rot = float(
             g("local_map_cand_motion_rot", p.local_map_cand_motion_rot))
         p.local_map_gn_inner = int(g("local_map_gn_inner", p.local_map_gn_inner))
+        p.local_map_device_build = bool(
+            g("local_map_device_build", p.local_map_device_build))
         p.local_map_min_views = int(
             g("local_map_min_views", p.local_map_min_views))
         p.local_map_transient_voxel = float(
@@ -1135,10 +1145,15 @@ class LidarOdometry(FrontEndBase):
                 min_abs_step_trans=step_t,
                 min_abs_step_rot=step_r)
             if p.local_map_quality_max_points > 0:
-                # statistics, not truncation: applied to BOTH align kinds
+                # statistics, not truncation: applied to BOTH align kinds.
+                # A stage's own (tighter) max_points survives the module
+                # knob — min of the two, with 0 meaning "unlimited".
                 repl["quality"] = tuple(
                     dataclasses.replace(
-                        q, max_points=p.local_map_quality_max_points)
+                        q, max_points=(p.local_map_quality_max_points
+                                       if q.max_points == 0 else
+                                       min(q.max_points,
+                                           p.local_map_quality_max_points)))
                     for q in s.quality)
             if tight and p.local_map_max_iterations > 0:
                 repl["max_iterations"] = min(
@@ -1340,7 +1355,7 @@ class LidarOdometry(FrontEndBase):
             # st.local_map when done — scanning continues against the
             # previous map (at most one keyframe stale, window >= 10).
             if self._local_map_builder is None:
-                from .local_map import LocalMap
+                from .local_map import DeviceLocalMap, LocalMap
                 # every targeted layer gets the full map density — matcher
                 # targets because sparse targets misregister, and quality
                 # targets because the paired-ratio scale depends on target
@@ -1356,15 +1371,23 @@ class LidarOdometry(FrontEndBase):
                             keep.add(mt.tgt_layer)
                         for q in stage.quality:
                             keep.add(q.tgt_layer)
-                self._local_map_builder = LocalMap(
-                    window=self.params.local_map_keyframes,
-                    capacity_mult=self.params.local_map_capacity_mult,
-                    dedup_voxel=self.params.local_map_dedup_voxel,
-                    keep_layers=keep or None,
-                    transient_min_views=self.params.local_map_min_views,
-                    transient_protect_recent=self.params.local_map_protect_recent,
-                    transient_voxel=(self.params.local_map_transient_voxel
-                                     or None))
+                if (self.params.local_map_device_build
+                        and self.params.local_map_min_views <= 1):
+                    self._local_map_builder = DeviceLocalMap(
+                        window=self.params.local_map_keyframes,
+                        capacity_mult=self.params.local_map_capacity_mult,
+                        dedup_voxel=self.params.local_map_dedup_voxel,
+                        keep_layers=keep or None)
+                else:
+                    self._local_map_builder = LocalMap(
+                        window=self.params.local_map_keyframes,
+                        capacity_mult=self.params.local_map_capacity_mult,
+                        dedup_voxel=self.params.local_map_dedup_voxel,
+                        keep_layers=keep or None,
+                        transient_min_views=self.params.local_map_min_views,
+                        transient_protect_recent=self.params.local_map_protect_recent,
+                        transient_voxel=(self.params.local_map_transient_voxel
+                                         or None))
             self._local_map_builder.add_keyframe(
                 points, (st.world_R, st.world_t))
             if st.local_map is None or not self.params.local_map_async_build:

@@ -125,6 +125,96 @@ class TestSnapshotBuild:
         assert mp["decimated"].capacity == 256  # default mult 1
 
 
+class TestDeviceLocalMap:
+    """Device-resident aggregate build (DeviceLocalMap) — parity with the
+    host builder's semantics: world transform + normal rotation, oldest-
+    wins voxel dedup, window eviction, fixed capacities."""
+
+    def _mk(self, **kw):
+        from mola_fe_lidar_tpu.frontend.local_map import DeviceLocalMap
+        return DeviceLocalMap(**kw)
+
+    def test_matches_host_build_point_set(self):
+        """Under-capacity, distinct-voxel input: device and host builds
+        keep exactly the same world points (order may differ)."""
+        from mola_fe_lidar_tpu.frontend.local_map import LocalMap
+
+        rng = np.random.default_rng(7)
+        host = LocalMap(window=4, capacity_mult=4, dedup_voxel=0.05)
+        dev = self._mk(window=4, capacity_mult=4, dedup_voxel=0.05)
+        for i in range(3):
+            pts = rng.uniform(-20, 20, (64, 3)).astype(np.float32)
+            nrm = rng.normal(size=(64, 3)).astype(np.float32)
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            R, t = se3_np.exp(rng.normal(scale=0.3, size=6))
+            mm = {"planes": _cloud(pts, {"normal": nrm}, capacity=256)}
+            host.add_keyframe(mm, (R, t))
+            dev.add_keyframe(mm, (R, t))
+        a = host.build()["planes"]
+        b = dev.build()["planes"]
+        pa = np.asarray(a.xyz)[np.asarray(a.mask) > 0.5]
+        pb = np.asarray(b.xyz)[np.asarray(b.mask) > 0.5]
+        assert pa.shape == pb.shape
+        order_a = np.lexsort(pa.T)
+        order_b = np.lexsort(pb.T)
+        np.testing.assert_allclose(pa[order_a], pb[order_b], atol=1e-4)
+        na = np.asarray(a.attrs["normal"])[np.asarray(a.mask) > 0.5]
+        nb = np.asarray(b.attrs["normal"])[np.asarray(b.mask) > 0.5]
+        np.testing.assert_allclose(na[order_a], nb[order_b], atol=1e-4)
+
+    def test_dedup_oldest_wins_and_window(self):
+        dev = self._mk(window=2, capacity_mult=4, dedup_voxel=0.5)
+        I = (np.eye(3), np.zeros(3))
+        a = np.array([[0, 0, 0], [5, 0, 0]], np.float32)
+        dev.add_keyframe({"decimated": _cloud(a, capacity=256)}, I)
+        dev.add_keyframe({"decimated": _cloud(a + 0.01, capacity=256)}, I)
+        mp = dev.build()
+        pc = mp["decimated"]
+        assert int(np.asarray(pc.mask).sum()) == 2
+        kept = np.asarray(pc.xyz)[np.asarray(pc.mask) > 0.5]
+        # oldest keyframe's exact coordinates survive the dedup
+        assert (np.abs(kept - np.sort(a, axis=0)) < 1e-6).all() or \
+               (np.abs(np.sort(kept, axis=0) - a) < 1e-6).all()
+        # window eviction
+        b = np.array([[9, 9, 9]], np.float32)
+        dev.add_keyframe({"decimated": _cloud(b, capacity=256)}, I)
+        dev.add_keyframe({"decimated": _cloud(b + 3, capacity=256)}, I)
+        mp = dev.build()
+        xyz = np.asarray(mp["decimated"].xyz)[
+            np.asarray(mp["decimated"].mask) > 0.5]
+        assert not (np.abs(xyz) < 1e-3).all(axis=1).any()
+        assert len(dev) == 2
+
+    def test_time_attr_dropped_and_capacity(self):
+        dev = self._mk(window=2, capacity_mult={"planes": 4},
+                       dedup_voxel=0.01)
+        a = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+        mm = {"planes": _cloud(
+            a, {"normal": np.tile([0, 0, 1], (2, 1)).astype(np.float32),
+                "time": np.linspace(0, 1, 2, dtype=np.float32)[:, None]},
+            capacity=256)}
+        dev.add_keyframe(mm, (np.eye(3), np.zeros(3)))
+        mp = dev.build()
+        assert set(mp["planes"].attrs) == {"normal"}
+        assert mp["planes"].capacity == 1024
+
+    def test_build_from_entries_snapshot(self):
+        rng = np.random.default_rng(3)
+        dev = self._mk(window=4, capacity_mult=2, dedup_voxel=0.1)
+        I = (np.eye(3), np.zeros(3))
+        for _ in range(3):
+            pts = rng.uniform(-10, 10, (100, 3)).astype(np.float32)
+            dev.add_keyframe({"decimated": _cloud(pts, capacity=256)}, I)
+        snap = dev.entries()
+        ref = dev.build()
+        dev.add_keyframe(
+            {"decimated": _cloud(rng.uniform(-10, 10, (50, 3)).astype(
+                np.float32), capacity=256)}, I)
+        got = dev.build(snap)
+        np.testing.assert_array_equal(np.asarray(ref["decimated"].xyz),
+                                      np.asarray(got["decimated"].xyz))
+
+
 class TestTransientFilter:
     """Multi-view consistency suppression of dynamic objects in the
     rolling map (LocalMap.transient_min_views)."""
@@ -179,8 +269,10 @@ class TestMapStageFloor:
     def test_default_keeps_reference_thresholds(self):
         """Default floor values equal the reference minAbsStep and the
         distance cap is off (the ablation showed both cost accuracy);
-        the only default map-stage deviation is the candidate cache
-        (cand_k=4 — measured faster AND more accurate)."""
+        the only default map-stage deviations are the two measured wins:
+        the candidate cache (cand_k=4 — faster AND more accurate) and the
+        quality-source subsample (max_points=8192 — an unbiased paired-
+        ratio estimator over the 32k-cap map layers)."""
         import dataclasses
         from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
         from mola_fe_lidar_tpu.models.config import AlignKind
@@ -190,13 +282,39 @@ class TestMapStageFloor:
         m.initialize({"params": {"odometry_reference": "local_map"}})
         kind = AlignKind.LIDAR_ODOMETRY
         for s0, s1 in zip(m.icp_cases[kind], m._stages_for(kind, True)):
-            undone = dataclasses.replace(s1, matchers=tuple(
-                dataclasses.replace(mm, cand_k=0)
-                if mm.kind in _CAND_KINDS else mm for mm in s1.matchers))
+            undone = dataclasses.replace(
+                s1,
+                matchers=tuple(
+                    dataclasses.replace(mm, cand_k=0)
+                    if mm.kind in _CAND_KINDS else mm for mm in s1.matchers),
+                quality=tuple(
+                    dataclasses.replace(q, max_points=q0.max_points)
+                    for q, q0 in zip(s1.quality, s0.quality)))
             assert undone == s0
             for mm in s1.matchers:
                 if mm.kind in _CAND_KINDS:
                     assert mm.cand_k == 4
+            for q in s1.quality:
+                assert q.max_points == 8192
+        m.shutdown()
+
+    def test_quality_max_points_respects_tighter_stage_value(self):
+        """A stage whose YAML configures a SMALLER quality max_points keeps
+        it — the module-level knob only ever tightens, never loosens."""
+        import dataclasses
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+        from mola_fe_lidar_tpu.models.config import AlignKind
+
+        m = LidarOdometry()
+        m.initialize({"params": {"odometry_reference": "local_map"}})
+        kind = AlignKind.LIDAR_ODOMETRY
+        m.icp_cases[kind] = tuple(
+            dataclasses.replace(s, quality=tuple(
+                dataclasses.replace(q, max_points=2048) for q in s.quality))
+            for s in m.icp_cases[kind])
+        for s in m._stages_for(kind, True):
+            for q in s.quality:
+                assert q.max_points == 2048
         m.shutdown()
 
     def test_cand_motion_thresholds_apply_to_map_stages(self):
@@ -333,11 +451,19 @@ class TestMapStageFloor:
         for s0, s1 in zip(plain, raised):
             assert s1.min_abs_step_trans == max(s0.min_abs_step_trans, 2e-3)
             assert s1.min_abs_step_rot == max(s0.min_abs_step_rot, 4e-4)
-            # only the convergence knobs differ
+            # beyond the convergence knobs, only the default map-stage
+            # accelerations (candidate cache, quality subsample) differ
             import dataclasses
+            from mola_fe_lidar_tpu.models.icp import _CAND_KINDS
             assert dataclasses.replace(
                 s1, min_abs_step_trans=s0.min_abs_step_trans,
-                min_abs_step_rot=s0.min_abs_step_rot) == s0
+                min_abs_step_rot=s0.min_abs_step_rot,
+                matchers=tuple(
+                    dataclasses.replace(mm, cand_k=0)
+                    if mm.kind in _CAND_KINDS else mm for mm in s1.matchers),
+                quality=tuple(
+                    dataclasses.replace(q, max_points=q0.max_points)
+                    for q, q0 in zip(s1.quality, s0.quality))) == s0
         m.shutdown()
 
 
