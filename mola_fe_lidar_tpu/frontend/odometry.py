@@ -183,6 +183,20 @@ class LidarOdometryParameters:
     # fuse filter pipeline + odometry ICP into ONE device dispatch per scan
     # (big win when every dispatch pays host<->device latency)
     fused_scan_step: bool = True
+    # Software-pipeline the scan step across the host<->device boundary:
+    # the fused program splits into a FILTER dispatch and an ALIGN dispatch,
+    # and while the host blocks on scan N's align readback (a full tunnel
+    # round-trip, ~25-30 ms on the axon testbed) the device is already
+    # running scan N+1's filter, whose generators (host->device ingest)
+    # were overlapped with scan N's align. Steady-state throughput becomes
+    # device-bound instead of (device + round-trip + ingest)-bound. Cost:
+    # the prefetched filter deskews with a twist that is one scan staler
+    # (the damped EMA twist already lags by design; measured-neutral on the
+    # 500-scan replay). The align itself — guess composition, gates, KF
+    # logic — still sees scan N's readback before scan N+1 dispatches, so
+    # keyframe map updates are never stale. Default on wherever the fused
+    # step is on; disable to restore the strict one-dispatch-per-scan form.
+    pipelined_scan_step: bool = True
     # Deskew-twist conditioning. Feeding the raw per-pair twist straight
     # back into motion compensation is a one-scan-lag feedback loop with
     # gain ~1 for the yaw component (a yaw-rate warp of a 360-degree sweep
@@ -455,6 +469,12 @@ class LidarOdometry(FrontEndBase):
         self._fused_ok: Dict[Tuple[AlignKind, bool], bool] = {}
         self._last_positive_dt: Optional[float] = None
         self._mesh = None               # device mesh (set in initialize())
+        # pipelined scan step: intake-order mirror of the pipeline queue
+        # (for one-obs lookahead) + the prefetched (timestamp, mm, sanity)
+        from collections import deque as _deque
+        self._lookahead = _deque()
+        self._prefetched = None
+        self._pipelined_ok = True       # trace-failure kill switch
         self._local_map_builder = None  # created on first KF in local_map mode
         self._map_fail_streak = 0       # consecutive weak scan-to-map aligns
         self._map_build_lock = threading.Lock()
@@ -565,6 +585,8 @@ class LidarOdometry(FrontEndBase):
         p.mesh_data = int(g("mesh_data", p.mesh_data))
         p.mesh_model = int(g("mesh_model", p.mesh_model))
         p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
+        p.pipelined_scan_step = bool(
+            g("pipelined_scan_step", p.pipelined_scan_step))
 
         # The three ICP cases (reference :122-128). Each case is a tuple of
         # coarse-to-fine stages (the reference documents ICP_case as a
@@ -629,6 +651,7 @@ class LidarOdometry(FrontEndBase):
             self._local_map_builder = None
             self._map_fail_streak = 0
             self._last_positive_dt = None
+            self._prefetched = None
 
     def state_copy(self) -> MethodState:
         """Deep snapshot accessor (reference stateCopy(), LidarOdometry.h:163).
@@ -690,6 +713,7 @@ class LidarOdometry(FrontEndBase):
                     queued)
                 return None
             self._pending += 1
+            self._lookahead.append(obs)
         self.profiler.enter("delay_onNewObs_to_process")
         return self._pipeline_pool.submit(self._process_safe, obs)
 
@@ -714,6 +738,13 @@ class LidarOdometry(FrontEndBase):
             tim = float(obs.get("timestamp", 0.0))
             st = self.state
 
+            # pipelined lookahead bookkeeping: this obs leaves the mirror
+            # queue (direct _process calls in tests bypass intake — then
+            # the mirror is simply not used for this scan)
+            with self._pending_lock:
+                if self._lookahead and self._lookahead[0] is obs:
+                    self._lookahead.popleft()
+
             # time gate (reference :202-212)
             if st.last_obs_tim is not None:
                 dt = tim - st.last_obs_tim
@@ -721,10 +752,20 @@ class LidarOdometry(FrontEndBase):
                     prof.register_user_measure("doProcess.skip_too_soon", 1)
                     return
 
-            # generators (host->device ingest, reference :215-217)
-            prof.enter("doProcess.generators")
-            raw_map = apply_generators(self.generators, obs)
-            prof.leave("doProcess.generators")
+            # prefetched filter output (pipelined mode): scan N's align
+            # dispatch overlapped THIS scan's ingest + filter — skip the
+            # generators entirely and use the in-flight device values
+            pf = self._prefetched
+            self._prefetched = None
+            if pf is not None and pf[0] != tim:
+                pf = None  # time-gated / reordered: discard
+
+            raw_map = None
+            if pf is None:
+                # generators (host->device ingest, reference :215-217)
+                prof.enter("doProcess.generators")
+                raw_map = apply_generators(self.generators, obs)
+                prof.leave("doProcess.generators")
 
             last_points = st.last_points
             last_tim = st.last_obs_tim
@@ -782,13 +823,33 @@ class LidarOdometry(FrontEndBase):
                         st.world_R if use_map else np.eye(3), np.float32)
                     prev_wt = np.asarray(
                         st.world_t if use_map else np.zeros(3), np.float32)
+                    pipelined = (self.params.pipelined_scan_step
+                                 and self._pipelined_ok)
                     try:
                         prof.enter("doProcess.fused_step")
-                        mm, flat = self._get_fused_step(kind, use_map)(
-                            raw_map, icp_target, guess_R, guess_t,
-                            jnp.asarray(deskew_twist, jnp.float32),
-                            jnp.asarray(prev_wR), jnp.asarray(prev_wt),
-                            jnp.float32(max(dt, 0.0)))
+                        tw_arr = jnp.asarray(deskew_twist, jnp.float32)
+                        targs = (icp_target, guess_R, guess_t, tw_arr,
+                                 jnp.asarray(prev_wR), jnp.asarray(prev_wt),
+                                 jnp.float32(max(dt, 0.0)))
+                        if pipelined:
+                            # split dispatches: filter (possibly already in
+                            # flight from the previous scan's prefetch) then
+                            # align; the next scan's ingest+filter overlaps
+                            # this align's device time + readback round-trip
+                            if pf is not None:
+                                mm_f, sanity = pf[1], pf[2]
+                            else:
+                                mm_f, sanity = self._get_filter_step()(
+                                    raw_map, tw_arr)
+                            mm, flat = self._get_align_step(kind, use_map)(
+                                mm_f, *targs, sanity)
+                            self._prefetch_next()
+                        else:
+                            if raw_map is None:  # prefetched, mode now off
+                                raw_map = apply_generators(
+                                    self.generators, obs)
+                            mm, flat = self._get_fused_step(kind, use_map)(
+                                raw_map, *targs)
                         flat = np.asarray(flat)  # the single readback
                         prof.leave("doProcess.fused_step")
                         total, finite = float(flat[51]), float(flat[52])
@@ -814,6 +875,8 @@ class LidarOdometry(FrontEndBase):
                         raise
 
                 if icp_out is None:  # unfused fallback
+                    if raw_map is None:  # scan arrived via the prefetch path
+                        raw_map = apply_generators(self.generators, obs)
                     prof.enter("doProcess.filter")
                     this_points = self.filter_pipeline(raw_map)
                     prof.leave("doProcess.filter")
@@ -1004,6 +1067,44 @@ class LidarOdometry(FrontEndBase):
         finally:
             prof.leave("doProcessNewObservation")
 
+    def _prefetch_next(self) -> None:
+        """Dispatch the NEXT queued scan's generators + filter while the
+        current scan's align runs on device (pipelined_scan_step).
+
+        Speculative by design: the prefetched filter deskews with the
+        damped twist as of NOW (one scan staler than the serial path —
+        the EMA already lags by construction), and a scan later dropped
+        by the time gate simply discards its prefetch. Any error here
+        disables pipelining and lets the scan take the serial path, where
+        real errors surface with their normal handling."""
+        if not (self.params.pipelined_scan_step and self._pipelined_ok
+                and self.params.fused_scan_step):
+            return
+        with self._pending_lock:
+            nxt = self._lookahead[0] if self._lookahead else None
+        if nxt is None:
+            return
+        tim2 = float(nxt.get("timestamp", 0.0))
+        st = self.state
+        try:
+            prof = self.profiler
+            prof.enter("doProcess.prefetch_ingest")
+            raw2 = apply_generators(self.generators, nxt)
+            tw = (st.twist_smooth
+                  if st.twist_smooth_age <= self.params.deskew_twist_max_age
+                  else np.zeros(6))
+            mm2, s2 = self._get_filter_step()(
+                raw2, jnp.asarray(tw, jnp.float32))
+            prof.leave("doProcess.prefetch_ingest")
+            self._prefetched = (tim2, mm2, s2)
+        except Exception:  # noqa: BLE001 — speculative work only
+            self.profiler.leave("doProcess.prefetch_ingest")
+            self._pipelined_ok = False
+            self._prefetched = None
+            self.log.warning(
+                "prefetch filter failed; disabling pipelined scan step",
+                exc_info=True)
+
     def _schedule_map_build(self) -> None:
         """Rebuild the local-map aggregate off the pipeline thread.
 
@@ -1165,11 +1266,13 @@ class LidarOdometry(FrontEndBase):
             out.append(dataclasses.replace(s, **repl))
         return tuple(out)
 
-    def _get_fused_step(self, kind: AlignKind, for_map: bool = False):
-        """One jitted program per (filters, params): filter pipeline + ICP +
-        sanity reduction + result packing — ONE device dispatch and ONE
-        readback per scan. Cached globally by configuration so fresh module
-        instances never recompile."""
+    def _align_core(self, kind: AlignKind, for_map: bool):
+        """Traceable align body shared by the one-dispatch fused step and
+        the pipelined align step: coarse-to-fine align (optionally TP-
+        sharded over the mesh "model" axis) plus the in-loop two-pass
+        deskew refinement. Returns (core_fn, cache_key); ``core_fn(mm,
+        last_map, guess_R, guess_t, twist, prev_R, prev_t, dt) -> (mm,
+        ICPResult)``."""
         stages = self._stages_for(kind, for_map)
         pp = self.params
         # TP over the mesh "model" axis (VERDICT r3 #5): the map-align
@@ -1182,18 +1285,17 @@ class LidarOdometry(FrontEndBase):
                         pp.deskew_refine_min_quality, for_map,
                         pp.max_sensor_speed, pp.max_sensor_rot_rate,
                         pp.deskew_refine_rounds)
-        key = (_filters_cache_key(self.filter_pipeline.filters), stages,
-               two_pass_cfg,
-               None if tp_mesh is None else
-               (tuple(tp_mesh.axis_names), tp_mesh.devices.shape,
-                tuple(d.id for d in tp_mesh.devices.flat)))
-        if key in _FUSED_STEP_CACHE:
-            return _FUSED_STEP_CACHE[key]
         from ..filters.pipeline import FilterDeskew, delta_redeskew
         from ..models.icp import align_pipeline as _align_pipeline
         filters = tuple(self.filter_pipeline.filters)
         dsk = next((f for f in filters if isinstance(f, FilterDeskew)), None)
         two_pass = pp.deskew_in_loop and dsk is not None
+        dsk_cfg = (None if dsk is None
+                   else (dsk.scan_period, dsk.anchor == "end"))
+        key = (stages, two_pass_cfg, dsk_cfg,
+               None if tp_mesh is None else
+               (tuple(tp_mesh.axis_names), tp_mesh.devices.shape,
+                tuple(d.id for d in tp_mesh.devices.flat)))
         if two_pass:
             refine_stages = (dataclasses.replace(
                 stages[-1], max_iterations=pp.deskew_refine_iters),)
@@ -1224,23 +1326,7 @@ class LidarOdometry(FrontEndBase):
                     mesh=tp_mesh, in_specs=in_specs, out_specs=_P(),
                     check_vma=False)(src_mm, tgt_mm, pose)
 
-        @jax.jit
-        def step(raw_map, last_map, guess_R, guess_t, twist,
-                 prev_R, prev_t, dt):
-            mm = raw_map
-            for f in filters:
-                if isinstance(f, FilterDeskew):
-                    mm = f(mm, twist=twist)
-                else:
-                    mm = f(mm)
-            # sanity reduction (finite + populated), packed with the result
-            total = jnp.zeros((), jnp.float32)
-            finite = jnp.ones((), jnp.float32)
-            for pc in mm.values():
-                total = total + jnp.sum(pc.mask)
-                finite = finite * jnp.isfinite(
-                    jnp.sum(jnp.where(pc.mask[..., None] > 0.5, pc.xyz, 0.0))
-                ).astype(jnp.float32)
+        def core(mm, last_map, guess_R, guess_t, twist, prev_R, prev_t, dt):
             res = _run_align(mm, last_map, se3.Pose(guess_R, guess_t),
                              stages)
             if two_pass:
@@ -1271,8 +1357,87 @@ class LidarOdometry(FrontEndBase):
                           for name, pc in mm.items()}
                     res = _run_align(mm, last_map, res.pose, refine_stages)
                     xi_cur = xi_new
-            flat = jnp.concatenate([_pack_icp_result(res),
-                                    jnp.stack([total, finite])])
+            return mm, res
+
+        return core, key
+
+    def _filter_core(self):
+        """Traceable filter body: raw layers -> filtered layers + the
+        (total, finite) sanity reduction."""
+        from ..filters.pipeline import FilterDeskew
+        filters = tuple(self.filter_pipeline.filters)
+
+        def core(raw_map, twist):
+            mm = raw_map
+            for f in filters:
+                if isinstance(f, FilterDeskew):
+                    mm = f(mm, twist=twist)
+                else:
+                    mm = f(mm)
+            # sanity reduction (finite + populated), packed with the result
+            total = jnp.zeros((), jnp.float32)
+            finite = jnp.ones((), jnp.float32)
+            for pc in mm.values():
+                total = total + jnp.sum(pc.mask)
+                finite = finite * jnp.isfinite(
+                    jnp.sum(jnp.where(pc.mask[..., None] > 0.5, pc.xyz, 0.0))
+                ).astype(jnp.float32)
+            return mm, jnp.stack([total, finite])
+
+        return core
+
+    def _get_fused_step(self, kind: AlignKind, for_map: bool = False):
+        """One jitted program per (filters, params): filter pipeline + ICP +
+        sanity reduction + result packing — ONE device dispatch and ONE
+        readback per scan. Cached globally by configuration so fresh module
+        instances never recompile."""
+        align_core, align_key = self._align_core(kind, for_map)
+        key = ("fused", _filters_cache_key(self.filter_pipeline.filters),
+               align_key)
+        if key in _FUSED_STEP_CACHE:
+            return _FUSED_STEP_CACHE[key]
+        filter_core = self._filter_core()
+
+        @jax.jit
+        def step(raw_map, last_map, guess_R, guess_t, twist,
+                 prev_R, prev_t, dt):
+            mm, sanity = filter_core(raw_map, twist)
+            mm, res = align_core(mm, last_map, guess_R, guess_t, twist,
+                                 prev_R, prev_t, dt)
+            flat = jnp.concatenate([_pack_icp_result(res), sanity])
+            return mm, flat
+
+        _FUSED_STEP_CACHE[key] = step
+        return step
+
+    def _get_filter_step(self):
+        """Pipelined mode, dispatch #1: filter pipeline + sanity, jitted.
+        Kind-independent (the filters don't depend on the align case), so
+        one program serves every scan."""
+        key = ("filter", _filters_cache_key(self.filter_pipeline.filters))
+        if key in _FUSED_STEP_CACHE:
+            return _FUSED_STEP_CACHE[key]
+        filter_core = self._filter_core()
+        step = jax.jit(filter_core)
+        _FUSED_STEP_CACHE[key] = step
+        return step
+
+    def _get_align_step(self, kind: AlignKind, for_map: bool = False):
+        """Pipelined mode, dispatch #2: align a PRE-FILTERED cloud (the
+        prefetched output of :meth:`_get_filter_step`) and pack the result
+        with the passed-through sanity reduction — the readback-bearing
+        half of the split scan step."""
+        align_core, align_key = self._align_core(kind, for_map)
+        key = ("align", align_key)
+        if key in _FUSED_STEP_CACHE:
+            return _FUSED_STEP_CACHE[key]
+
+        @jax.jit
+        def step(mm, last_map, guess_R, guess_t, twist,
+                 prev_R, prev_t, dt, sanity):
+            mm, res = align_core(mm, last_map, guess_R, guess_t, twist,
+                                 prev_R, prev_t, dt)
+            flat = jnp.concatenate([_pack_icp_result(res), sanity])
             return mm, flat
 
         _FUSED_STEP_CACHE[key] = step

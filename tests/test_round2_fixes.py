@@ -100,7 +100,10 @@ class TestFusedFallbackPerKind:
                 raise jax.errors.JaxRuntimeError("synthetic compile failure")
             return f
 
+        # patch BOTH step getters: the pipelined path dispatches through
+        # _get_align_step, the serial path through _get_fused_step
         m._get_fused_step = failing_get
+        m._get_align_step = failing_get
         for o in obs:
             m.on_new_observation(o)
         m.drain()
@@ -126,6 +129,7 @@ class TestFusedFallbackPerKind:
             return f
 
         m._get_fused_step = broken_get
+        m._get_align_step = broken_get
         m._process(obs[0])  # first scan: no ICP, no fused path
         with pytest.raises(KeyError):
             m._process(obs[1])
