@@ -118,8 +118,13 @@ def voxel_stats(vs: VoxelSort, num_segments: int) -> VoxelStats:
     seg = voxel_segments(vs, num_segments)
     total = num_segments + 1
     w = vs.mask
-    count = jax.ops.segment_sum(w, seg, num_segments=total)
-    sum_x = jax.ops.segment_sum(vs.xyz * w[..., None], seg, num_segments=total)
+    # seg comes from a cumsum over the voxel-sorted order (then min-capped),
+    # so it is monotone non-decreasing — telling XLA unlocks the segmented-
+    # reduction lowering instead of a general scatter-add
+    srt = dict(indices_are_sorted=True)
+    count = jax.ops.segment_sum(w, seg, num_segments=total, **srt)
+    sum_x = jax.ops.segment_sum(vs.xyz * w[..., None], seg,
+                                num_segments=total, **srt)
     safe_n_all = jnp.maximum(count, 1.0)
     mean_all = sum_x / safe_n_all[..., None]
     # weight each residual outer product by w ONCE (w·r·rᵀ, not (w·r)(w·r)ᵀ
@@ -127,7 +132,7 @@ def voxel_stats(vs: VoxelSort, num_segments: int) -> VoxelStats:
     # must stay consistent with the w-summed count used as the divisor
     r = vs.xyz - mean_all[seg]
     outer = (r * w[..., None])[..., :, None] * r[..., None, :]
-    sum_cc = jax.ops.segment_sum(outer, seg, num_segments=total)
+    sum_cc = jax.ops.segment_sum(outer, seg, num_segments=total, **srt)
     count, mean = count[..., :-1], mean_all[..., :-1, :]
     cov = sum_cc[..., :-1, :, :] / jnp.maximum(count, 1.0)[..., None, None]
     valid = (count > 0.5).astype(vs.xyz.dtype)

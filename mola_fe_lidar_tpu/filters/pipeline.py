@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cloud import voxel
 from ..cloud.metric_map import MetricMap, PointCloud
@@ -27,18 +28,42 @@ from .base import FILTER_REGISTRY
 
 
 def _compact(flags: jax.Array, capacity: int, *arrays):
-    """Gather rows where ``flags > 0`` to the front of ``capacity``-row
-    buffers (stable order). Returns (mask, gathered arrays...)."""
-    order = jnp.argsort(-flags, stable=True)[:capacity]
-    mask = jnp.take(flags, order, axis=0)
-    out = [jnp.take(a, order, axis=0) for a in arrays]
-    return (jnp.where(mask > 0.5, 1.0, 0.0), *out)
+    """Gather rows where ``flags > 0.5`` to the front of ``capacity``-row
+    buffers (stable order). Returns (mask, gathered arrays...).
+
+    Sort-free: the j-th output slot is the position of the (j+1)-th set
+    flag, found by a vectorized binary search over the running count —
+    O(capacity · log N) gathers instead of a full O(N log² N) device sort.
+    TPU sorts are the dominant cost of every compaction in the filter and
+    map-build programs (flags here are always binary keep-masks, for which
+    this is output-identical to the former stable argsort(-flags)).
+    """
+    keep = flags > 0.5
+    c = jnp.cumsum(keep.astype(jnp.int32))
+    total = c[-1]
+    want = 1 + jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    order = jnp.searchsorted(c, want)  # first i with c[i] == j+1 (kept row)
+    mask = (want <= total).astype(flags.dtype)
+    order = jnp.minimum(order, flags.shape[0] - 1)  # OOB slots: junk row,
+    out = [jnp.take(a, order, axis=0) for a in arrays]  # masked out anyway
+    return (mask, *out)
+
+
+@functools.lru_cache(maxsize=None)
+def _hash_perm_host(n: int):
+    """Host-side fixed pseudo-random permutation of [0, n)."""
+    h = (np.arange(n, dtype=np.uint64) * 2654435761) & 0xFFFFFFFF
+    return np.argsort(h).astype(np.int32)  # bijective hash: no ties
 
 
 def _hash_perm(n: int) -> jax.Array:
-    """Fixed pseudo-random permutation of [0, n) (Knuth multiplicative)."""
-    iota = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
-    return jnp.argsort(iota * jnp.uint32(2654435761))
+    """Fixed pseudo-random permutation of [0, n) (Knuth multiplicative).
+
+    Precomputed on host and embedded as a program constant: the former
+    in-graph ``argsort(iota * 2654435761)`` re-sorted a compile-time-fixed
+    sequence on EVERY filter/map-build dispatch (same values, measured
+    ~10 ms per 131k-row sort on v5e)."""
+    return jnp.asarray(_hash_perm_host(n))
 
 
 def _compact_uniform(flags: jax.Array, capacity: int, *arrays):

@@ -127,6 +127,32 @@ def false_lc_study(res, obs, gt, robust: str) -> dict:
     return out
 
 
+# the 10 Hz online operating point (VERDICT r3 #3): local_map + deskew
+# with the recruiting crawl REMOVED at its source (tight match distance
+# against the dense map) so the iteration cap + convergence floor stop
+# real descent, not the crawl; the kNN edge matcher rides the candidate
+# cache; full-map NN goes through the MXU bf16x3+rescore path. The
+# truncating levers (distance cap, iteration cap) bind only on scans
+# WITH a validated velocity prior (local_map_tight_requires_prior,
+# default on): cold-start/post-outage scans keep the wide recruiting
+# stages. Each value re-ablated on TPU — see docs/accuracy.md.
+# The nearby-KF batch rides the same regime: those 5-candidate vmapped
+# aligns are the scan pipeline's main chip-queue rival (profile:
+# 1131 ms/batch at 100 iterations vs a 242 ms scan step), and capping
+# them at 25 iterations + extending the candidate cache to the kNN
+# matchers was measured ATE-neutral (docs/accuracy.json).
+REALTIME = (
+    "local_map_max_match_distance=0.75",
+    "local_map_min_abs_step_trans=0.001",
+    "local_map_min_abs_step_rot=0.0002",
+    "local_map_max_iterations=15",
+    "local_map_cand_knn=true",
+    "local_map_nn_backend=mxu",
+    "nearby_max_iterations=25",
+    "nearby_cand_knn=true",
+)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=500)
@@ -218,23 +244,6 @@ def main():
                 f"unknown config {name!r}; choose from {known} "
                 "(a typo would silently run scan-to-scan without deskew "
                 "and record a bogus row)")
-    # the 10 Hz online operating point (VERDICT r3 #3): local_map + deskew
-    # with the recruiting crawl REMOVED at its source (tight match distance
-    # against the dense map) so the iteration cap + convergence floor stop
-    # real descent, not the crawl; the kNN edge matcher rides the candidate
-    # cache; full-map NN goes through the MXU bf16x3+rescore path. The
-    # truncating levers (distance cap, iteration cap) bind only on scans
-    # WITH a validated velocity prior (local_map_tight_requires_prior,
-    # default on): cold-start/post-outage scans keep the wide recruiting
-    # stages. Each value re-ablated on TPU — see docs/accuracy.md.
-    REALTIME = (
-        "local_map_max_match_distance=0.75",
-        "local_map_min_abs_step_trans=0.001",
-        "local_map_min_abs_step_rot=0.0002",
-        "local_map_max_iterations=15",
-        "local_map_cand_knn=true",
-        "local_map_nn_backend=mxu",
-    )
     results = {}
     for name in args.configs.split(","):
         over = tuple(args.override)
