@@ -437,6 +437,9 @@ class MethodState:
     # append-only mirror of graph edges (a, b, R, t) — checkpointing works
     # with either graph backend without exposing its internals
     edge_log: list = field(default_factory=list)
+    # accepted loop-closure KF pairs — lets harnesses ablate the LC factors
+    # out of the recorded stream (PGO with/without LC; VERDICT r3 #2)
+    lc_pairs: list = field(default_factory=list)
 
 
 @MODULE_REGISTRY.register("LidarOdometry")
@@ -684,6 +687,7 @@ class LidarOdometry(FrontEndBase):
                 local_pose_graph=g,
                 checked_KF_pairs=set(st.checked_KF_pairs),
                 edge_log=list(st.edge_log),
+                lc_pairs=list(st.lc_pairs),
             )
 
     def spin_once(self) -> None:
@@ -1852,7 +1856,8 @@ class LidarOdometry(FrontEndBase):
         self.profiler.register_user_measure(
             f"checkNonAdjacent.{kind}.accepted", float(accept))
         if not accept:
-            self.log.info("%s rejected: goodness=%.2f corr=%.2fm", kind, goodness, corr)
+            self.log.info("%s rejected: KF %s <-> %s goodness=%.2f corr=%.2fm",
+                          kind, cur_kf, other_kf, goodness, corr)
             return
 
         Rn, tn = _np_pose(pose)
@@ -1864,6 +1869,8 @@ class LidarOdometry(FrontEndBase):
         with self._state_lock:
             st.local_pose_graph.insert_edge(cur_kf, other_kf, Rn, tn)
             st.edge_log.append((cur_kf, other_kf, Rn.copy(), tn.copy()))
+            if kind == "lc":
+                st.lc_pairs.append((cur_kf, other_kf))
         self.log.info("%s ACCEPTED: KF %s <-> %s goodness=%.2f",
                       "loop closure" if kind == "lc" else "nearby edge",
                       cur_kf, other_kf, goodness)
