@@ -40,8 +40,10 @@ def main():
                     help="with --fresh-sim: sim resolution (512 for CPU "
                          "smokes; capacities scale along, as in run_accuracy)")
     ap.add_argument("--fresh-sim", action="store_true",
-                    help="ignore --cache; simulate an outback sequence at "
+                    help="ignore --cache; simulate a --route sequence at "
                          "--azimuth (CPU-sized diagnosis of the same geometry)")
+    ap.add_argument("--route", default="outback")
+    ap.add_argument("--speed", type=float, default=16.0)
     ap.add_argument("--scans", type=int, default=260)
     ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--min-sep-scans", type=int, default=60)
@@ -72,7 +74,7 @@ def main():
     if args.fresh_sim:
         from mola_fe_lidar_tpu.obs.hdl64 import hdl64_sequence
         obs, gt = hdl64_sequence(n_scans=args.scans, n_azimuth=args.azimuth,
-                                 route_kind="outback", speed=16.0)
+                                 route_kind=args.route, speed=args.speed)
         scale = args.azimuth / 2048
     else:
         obs, gt = pickle.load(open(args.cache, "rb"))
@@ -100,11 +102,20 @@ def main():
     fs = module._get_filter_step()
     lc_stages = module.icp_cases[AlignKind.LOOP_CLOSURE]
     ba = _get_packed_batch_align(lc_stages)
-    tw0 = jnp.zeros(6, jnp.float32)
+
+    def true_twist(k):
+        """Sensor-frame twist from gt — the diag must deskew like
+        production does (KF clouds are stored deskewed): at 16 m/s an
+        undeskewed sweep smears 1.6 m along travel, and the two outback
+        passes smear in OPPOSITE directions — a ±1.6 m artifact basin."""
+        k2 = min(k + 1, len(gt) - 1)
+        Ri_, ti_ = se3_np.inverse((R[k], t[k]))
+        rel = se3_np.compose((Ri_, ti_), (R[k2], t[k2]))
+        return jnp.asarray(se3_np.log(*rel) / 0.1, jnp.float32)
 
     for i, j in pairs:
-        mm_i, _ = fs(apply_generators(module.generators, obs[i]), tw0)
-        mm_j, _ = fs(apply_generators(module.generators, obs[j]), tw0)
+        mm_i, _ = fs(apply_generators(module.generators, obs[i]), true_twist(i))
+        mm_j, _ = fs(apply_generators(module.generators, obs[j]), true_twist(j))
         # pose of scan j (other/to) in frame of scan i (current/from):
         # T_i^w⁻¹ ∘ T_j^w
         Ri_inv, ti_inv = se3_np.inverse((R[i], t[i]))
@@ -129,6 +140,17 @@ def main():
 
         row = {"pair": [i, j],
                "metric_dist_m": round(float(np.linalg.norm(t[j] - t[i])), 1)}
+        # quality ceiling at the TRUE pose (no ICP): paired ratio of the
+        # quality layer at threshold 0.30 with to-cloud mapped by gt — if
+        # THIS is < the 0.70 gate, no optimizer can ever pass it here
+        from mola_fe_lidar_tpu.ops.matching import nearest_neighbors
+        from mola_fe_lidar_tpu.solve.quality import paired_ratio
+        dec_i, dec_j = mm_i["decimated"], mm_j["decimated"]
+        moved = dec_j.xyz @ jnp.asarray(Rrel, jnp.float32).T + jnp.asarray(
+            trel, jnp.float32)
+        nn = nearest_neighbors(dec_i.xyz, dec_i.mask, moved, dec_j.mask)
+        row["gt_quality_ceiling"] = round(float(paired_ratio(
+            nn.dist, dec_i.mask, 0.30)), 3)
         row["gt"] = run(Rrel[None], trel[None], 1)
         key = jax.random.key(1000 + i)
         n_mc = module.params.loop_closure_montecarlo_samples

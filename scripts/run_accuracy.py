@@ -192,7 +192,7 @@ def main():
                          "local_map_nodeskew, deskew, no_deskew (both "
                          "scan-to-scan)")
     ap.add_argument("--route", default="block",
-                    choices=["block", "snake", "outback"],
+                    choices=["block", "snake", "outback", "relap"],
                     help="trajectory (obs.hdl64.make_route): 'snake' is the "
                          "1.74 km loop-closing route with KITTI-length "
                          "straights; 'outback' the CPU-smoke out-and-back")

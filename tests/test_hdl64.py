@@ -267,6 +267,28 @@ class TestRoutes:
         # separation (min_topo_dist 20 KFs x 3 m) well inside one lap
         assert ((d2 > 6.0) & (d2 < 30.0) & (sep > 90.0)).any()
 
+    def test_relap_revisits_same_direction(self):
+        """relap is the loop-closure ACCEPTANCE route: revisit pairs must
+        be SAME-direction (reverse revisits have an intrinsic ~0.3
+        paired-ratio ceiling from occlusion — scripts/diag_lc.py — and can
+        never pass the 0.70 gate, here or in the reference)."""
+        from mola_fe_lidar_tpu.obs.hdl64 import make_route
+
+        world = HDL64World()
+        r = make_route("relap", world)
+        worst, pts, ts = self._clearance(world, r)
+        assert worst > 2.0, f"route clips a building ({worst:.1f} m)"
+        heads = np.array([r(t)[0][:2, 0] for t in ts])
+        arc = np.concatenate(
+            [[0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=1))])
+        d2 = np.linalg.norm(pts[None] - pts[:, None], axis=-1)
+        sep = np.abs(arc[None] - arc[:, None])
+        win = (d2 > 5.0) & (d2 < 30.0) & (sep > 200.0)
+        same = win & (heads @ heads.T > 0.9)
+        assert same.any(), "no same-direction revisit in the LC window"
+        # the same-direction pairs dominate (the lane-offset design)
+        assert same.sum() > 0.4 * win.sum()
+
     def test_unknown_kind_raises(self):
         from mola_fe_lidar_tpu.obs.hdl64 import make_route
 
