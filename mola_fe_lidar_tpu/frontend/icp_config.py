@@ -111,6 +111,9 @@ def icp_params_from_config(cfg: Dict[str, Any]) -> ICPParams:
             threshold_distance=float(qp.get("thresholdDistance", 0.10)),
             src_layer=str(qp.get("src_layer", matchers[0].src_layer)),
             tgt_layer=str(qp.get("tgt_layer", matchers[0].tgt_layer)),
+            weight=float(qp.get("weight", 1.0)),
+            required_min=float(qp.get("requiredMin", 0.0)),
+            symmetric=bool(qp.get("symmetric", False)),
         ))
     if not qualities:
         qualities.append(Quality(src_layer=matchers[0].src_layer,

@@ -132,6 +132,30 @@ class Quality:
     # The subsample is an index PERMUTATION chosen at trace time, never a
     # [:n] slab (CLAUDE.md invariant: clouds are spatially ordered).
     max_points: int = 0
+    # Multi-evaluator combination (mp2p_icp runs a weighted mean over its
+    # quality evaluators): overall quality = Σ wᵢqᵢ / Σ wᵢ. weight=0
+    # evaluators contribute nothing to the mean but still evaluate —
+    # useful together with required_min.
+    weight: float = 1.0
+    # Conjunctive gate: if THIS evaluator's ratio falls below
+    # required_min, the overall quality is forced to 0 (align rejected)
+    # regardless of the weighted mean. Discriminative-layer loop-closure
+    # verification: a street-lattice-aliased "rival basin" alignment
+    # pairs ground/facade points freely (decimated ratio ~0.4–0.55) but
+    # pairs almost NO sparse vertical structure (edges ratio ≤ 0.06 vs
+    # ≥ 0.13 at the true pose — measured, scripts/diag_lc.py), so
+    # requiring a minimum edges ratio rejects exactly the aliased
+    # basins the reference's goodness-only gate cannot see
+    # (reference src/LidarOdometry.cpp:809-816 + TODO'd check :891).
+    required_min: float = 0.0
+    # Evaluate the ratio in BOTH directions (src→tgt under pose and
+    # tgt→src under pose⁻¹) and keep the max. Loop-closure viewpoint
+    # pairs are occlusion-asymmetric — each scan sees structure the
+    # other doesn't, so one direction's ratio can collapse on a correct
+    # alignment while aliased (wrong-basin) alignments collapse in BOTH
+    # directions (measured, scripts/diag_lc.py). Costs one extra NN
+    # pass over this evaluator's layers.
+    symmetric: bool = False
 
 
 @dataclass(frozen=True)

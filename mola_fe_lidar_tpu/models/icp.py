@@ -463,9 +463,16 @@ def _solve(pose, plane: _Pairings, p2p_rows, params: ICPParams,
 
 
 def _quality(pose, src_map, tgt_map, params: ICPParams, tile: int) -> jax.Array:
+    """Weighted mean over the configured evaluators, with conjunctive
+    ``required_min`` gates (models/config.py::Quality): any evaluator
+    scoring below its required_min forces the overall quality to 0.
+    The gate is what lets a sparse discriminative layer (edges) veto
+    street-lattice-aliased loop-closure alignments that the dense-layer
+    paired ratio scores well (see icp-settings-loop-closure.yaml)."""
     if not params.quality:
         return jnp.ones(())  # no evaluator configured = unconditionally good
     vals = []
+    gate = jnp.ones(())
     for qc in params.quality:
         if qc.kind != "paired_ratio":
             raise ValueError(f"unknown quality kind {qc.kind!r}")
@@ -488,8 +495,30 @@ def _quality(pose, src_map, tgt_map, params: ICPParams, tile: int) -> jax.Array:
         else:
             nn = matching_ops.tp_nearest_neighbors(
                 sp, src.mask, tgt.xyz, tgt.mask, params.shard_axis, tile=tile)
-        vals.append(quality_mod.paired_ratio(nn.dist, src.mask, qc.threshold_distance))
-    return functools.reduce(jnp.add, vals) / len(vals)
+        ratio = quality_mod.paired_ratio(nn.dist, src.mask,
+                                         qc.threshold_distance)
+        if qc.symmetric:
+            # reverse direction: tgt layer points into the src layer under
+            # pose⁻¹; keep the better of the two (Quality.symmetric —
+            # occlusion-asymmetric LC viewpoint pairs)
+            tsrc = src_map[qc.src_layer]
+            rp = se3.transform(se3.inverse(pose), tgt.xyz)
+            if params.shard_axis is None:
+                nn_r = _nn_1(rp, tgt.mask, tsrc, tile, "auto")
+            else:
+                nn_r = matching_ops.tp_nearest_neighbors(
+                    rp, tgt.mask, tsrc.xyz, tsrc.mask, params.shard_axis,
+                    tile=tile)
+            ratio = jnp.maximum(ratio, quality_mod.paired_ratio(
+                nn_r.dist, tgt.mask, qc.threshold_distance))
+        if qc.weight > 0.0:
+            vals.append(qc.weight * ratio)
+        if qc.required_min > 0.0:
+            gate = gate * (ratio >= qc.required_min).astype(ratio.dtype)
+    total_w = sum(qc.weight for qc in params.quality if qc.weight > 0.0)
+    if not vals:  # all evaluators are pure gates: quality is the gate
+        return gate
+    return gate * functools.reduce(jnp.add, vals) / total_w
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

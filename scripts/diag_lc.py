@@ -44,6 +44,7 @@ def main():
                          "--azimuth (CPU-sized diagnosis of the same geometry)")
     ap.add_argument("--route", default="outback")
     ap.add_argument("--speed", type=float, default=16.0)
+    ap.add_argument("--parked-cars", type=int, default=0)
     ap.add_argument("--scans", type=int, default=260)
     ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--min-sep-scans", type=int, default=60)
@@ -74,7 +75,8 @@ def main():
     if args.fresh_sim:
         from mola_fe_lidar_tpu.obs.hdl64 import hdl64_sequence
         obs, gt = hdl64_sequence(n_scans=args.scans, n_azimuth=args.azimuth,
-                                 route_kind=args.route, speed=args.speed)
+                                 route_kind=args.route, speed=args.speed,
+                                 parked_cars=args.parked_cars)
         scale = args.azimuth / 2048
     else:
         obs, gt = pickle.load(open(args.cache, "rb"))
@@ -170,6 +172,56 @@ def main():
                  t=jnp.asarray(td, jnp.float32)),
             n_mc, sig, np.radians(2.0))
         row["drift+mc"] = run(np.asarray(gd.R), np.asarray(gd.t), n_mc)
+        # wrong-basin margin: run the SAME LC align from street-lattice
+        # shifted inits and report the best goodness any far-from-truth
+        # convergence achieves. The acceptance gate must sit between this
+        # and the true-pose goodness — that separation is what calibrates
+        # min_icp_goodness_lc for a given scene pairing density (the
+        # reference's 0.70 is the same knob calibrated for real KITTI
+        # density, reference params/kitti-default.yaml:14).
+        shifts = np.array([[8, 0, 0], [-8, 0, 0], [0, 8, 0], [0, -8, 0],
+                           [4, 0, 0], [0, 4, 0], [12, 0, 0], [0, 12, 0]],
+                          float)
+        n_w = len(shifts)
+        to_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_w, *x.shape)), mm_j)
+        flats = np.asarray(ba(
+            to_b, mm_i,
+            jnp.broadcast_to(jnp.asarray(Rrel, jnp.float32), (n_w, 3, 3)),
+            jnp.asarray(trel[None] + shifts, jnp.float32)))
+        def layer_ratios(Rm, tm):
+            """Per-layer paired ratios at a given pose of j in i's frame —
+            the discriminative-layer study: ground-dominated 'decimated'
+            pairs under any street-lattice shift, sparse vertical 'edges'
+            (poles, car/building corners) only pair at the true pose."""
+            out = {}
+            for layer, thrs in (("decimated", (0.30,)),
+                                ("edges", (0.50, 0.80, 1.20))):
+                li, lj = mm_i[layer], mm_j[layer]
+                mv = lj.xyz @ jnp.asarray(Rm, jnp.float32).T + jnp.asarray(
+                    tm, jnp.float32)
+                nnr = nearest_neighbors(li.xyz, li.mask, mv, lj.mask)
+                for thr in thrs:
+                    key = layer if len(thrs) == 1 else f"{layer}@{thr:g}"
+                    out[key] = round(float(paired_ratio(
+                        nnr.dist, li.mask, thr)), 3)
+            return out
+
+        wrong_best, n_far, wrong_pose = 0.0, 0, None
+        for f in flats:
+            out = _unpack_icp_result(f)
+            tf = np.asarray(out.found_pose_to_wrt_from.t)
+            if np.linalg.norm(tf - trel) > 1.5:
+                n_far += 1
+                if float(out.goodness) > wrong_best:
+                    wrong_best = float(out.goodness)
+                    wrong_pose = (np.asarray(out.found_pose_to_wrt_from.R),
+                                  tf)
+        row["wrong_basin"] = {"best_goodness": round(wrong_best, 3),
+                              "n_stayed_far": n_far, "n_inits": n_w}
+        row["layers_true"] = layer_ratios(Rrel, trel)
+        if wrong_pose is not None:
+            row["layers_wrong"] = layer_ratios(*wrong_pose)
         print(json.dumps(row))
     module.shutdown()
 

@@ -185,6 +185,10 @@ def main():
     ap.add_argument("--scans", type=int, default=500)
     ap.add_argument("--azimuth", type=int, default=2048)
     ap.add_argument("--moving-cars", type=int, default=0)
+    ap.add_argument("--parked-cars", type=int, default=0,
+                    help="static near-field cars lining the streets "
+                         "(obs.hdl64.add_parked_cars); raises the LC "
+                         "paired-ratio ceiling on revisit routes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the 8-device virtual CPU mesh")
     ap.add_argument("--configs", default="local_map,deskew,no_deskew",
@@ -244,7 +248,8 @@ def main():
 
     t0 = time.perf_counter()
     cache = (Path("/tmp") / f"hdl64_{args.scans}_{args.azimuth}_"
-             f"{args.moving_cars}_{args.route}_{args.speed:g}.pkl"
+             f"{args.moving_cars}_{args.route}_{args.speed:g}"
+             f"{'_p%d' % args.parked_cars if args.parked_cars else ''}.pkl"
              if args.sim_cache else None)
     if cache is not None and cache.exists():
         import pickle
@@ -254,6 +259,7 @@ def main():
     else:
         obs, gt = hdl64_sequence(n_scans=args.scans, n_azimuth=args.azimuth,
                                  moving_cars=args.moving_cars,
+                                 parked_cars=args.parked_cars,
                                  route_kind=args.route, speed=args.speed)
         if cache is not None:
             import pickle
@@ -328,6 +334,9 @@ def main():
             row["route"] = args.route
             row["scans"] = args.scans
             name = f"{args.route}:{name}"
+        if args.parked_cars:
+            row["parked_cars"] = args.parked_cars
+            name = f"{name}+parked{args.parked_cars}"
         if args.dump_traj:
             d = Path(args.dump_traj)
             d.mkdir(parents=True, exist_ok=True)

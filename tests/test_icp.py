@@ -351,3 +351,86 @@ class TestCandidateCacheKNN:
         np.testing.assert_allclose(
             np.sort(np.asarray(nn.dist), -1), np.sort(d_all, -1)[:, :6],
             rtol=1e-4, atol=1e-5)
+
+
+class TestGatedQuality:
+    """Multi-evaluator quality combination (models/config.py::Quality
+    weight / required_min): weighted mean + conjunctive veto — the
+    discriminative-layer loop-closure gate (icp-settings-loop-closure.yaml)."""
+
+    def _two_layer_maps(self, rng, offset=None):
+        """'dense' layer pairs regardless; 'sparse' layer only pairs
+        when src == tgt (tgt sparse points far away under offset)."""
+        dense = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+        sparse = rng.uniform(-10, 10, (64, 3)).astype(np.float32)
+        src = {"dense": from_points(dense, capacity=256),
+               "sparse": from_points(sparse, capacity=64)}
+        tgt_sparse = sparse if offset is None else sparse + offset
+        tgt = {"dense": from_points(dense, capacity=256),
+               "sparse": from_points(tgt_sparse, capacity=64)}
+        return src, tgt
+
+    def _params(self, required_min=0.0, weight=0.0):
+        return ICPParams(
+            max_iterations=1,
+            matchers=(Matcher(kind="point2point", distance_threshold=0.05,
+                              src_layer="dense", tgt_layer="dense"),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+            quality=(
+                Quality(threshold_distance=0.10, src_layer="dense",
+                        tgt_layer="dense"),
+                Quality(threshold_distance=0.10, src_layer="sparse",
+                        tgt_layer="sparse", weight=weight,
+                        required_min=required_min),
+            ),
+        )
+
+    def test_weight_zero_keeps_dense_scale(self, rng):
+        src, tgt = self._two_layer_maps(rng)
+        res = align(src, tgt, se3.identity(), self._params())
+        assert float(res.quality) > 0.95  # pure dense ratio, sparse ignored
+
+    def test_required_min_vetoes_aliased_layer(self, rng):
+        src, tgt = self._two_layer_maps(rng, offset=np.float32([50, 0, 0]))
+        # dense layer aligns perfectly, sparse layer pairs nothing:
+        # without the veto quality would be ~1.0; the gate forces 0
+        res = align(src, tgt, se3.identity(), self._params(required_min=0.10))
+        assert float(res.quality) == 0.0
+        # and the same geometry passes when the sparse layer pairs
+        src2, tgt2 = self._two_layer_maps(rng)
+        res2 = align(src2, tgt2, se3.identity(), self._params(required_min=0.10))
+        assert float(res2.quality) > 0.95
+
+    def test_weighted_mean(self, rng):
+        src, tgt = self._two_layer_maps(rng, offset=np.float32([50, 0, 0]))
+        res = align(src, tgt, se3.identity(), self._params(weight=1.0))
+        # mean of ~1.0 (dense) and ~0.0 (sparse)
+        assert 0.4 < float(res.quality) < 0.6
+
+    def test_symmetric_takes_better_direction(self, rng):
+        dense = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+        sp_src = rng.uniform(-10, 10, (64, 3)).astype(np.float32)
+        src = {"dense": from_points(dense, capacity=256),
+               "sparse": from_points(sp_src, capacity=64)}
+        # tgt sparse = half of src's points: src->tgt pairs 0.5,
+        # tgt->src pairs 1.0 (occlusion-asymmetric LC analogue)
+        tgt = {"dense": from_points(dense, capacity=256),
+               "sparse": from_points(sp_src[:32], capacity=64)}
+        base = dict(
+            max_iterations=1,
+            matchers=(Matcher(kind="point2point", distance_threshold=0.05,
+                              src_layer="dense", tgt_layer="dense"),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+        )
+        asym = ICPParams(quality=(
+            Quality(threshold_distance=0.10, src_layer="sparse",
+                    tgt_layer="sparse"),), **base)
+        sym = ICPParams(quality=(
+            Quality(threshold_distance=0.10, src_layer="sparse",
+                    tgt_layer="sparse", symmetric=True),), **base)
+        q_asym = float(align(src, tgt, se3.identity(), asym).quality)
+        q_sym = float(align(src, tgt, se3.identity(), sym).quality)
+        assert 0.4 < q_asym < 0.6
+        assert q_sym > 0.95
