@@ -197,6 +197,16 @@ class LidarOdometryParameters:
     # keyframe map updates are never stale. Default on wherever the fused
     # step is on; disable to restore the strict one-dispatch-per-scan form.
     pipelined_scan_step: bool = True
+    # Background-compile the RARE production programs right after the
+    # first scan lands (one thread, one throwaway dispatch per program):
+    # the without-velocity-prior align kind, the scan-to-scan fallback
+    # retry, the nearby-KF batch, and the loop-closure Monte-Carlo batch.
+    # Without this each rare path JIT-compiles on FIRST USE, and through
+    # the remote TPU compiler a single such compile was measured to stall
+    # the ONLINE scan pipeline ~28 s mid-replay (the s2s fallback firing
+    # at the first weak corner). The reference has no analogue problem —
+    # C++ is compiled ahead of time; this restores that property.
+    precompile_rare_paths: bool = True
     # Deskew-twist conditioning. Feeding the raw per-pair twist straight
     # back into motion compensation is a one-scan-lag feedback loop with
     # gain ~1 for the yaw component (a yaw-rate warp of a 360-degree sweep
@@ -478,6 +488,8 @@ class LidarOdometry(FrontEndBase):
         self._lookahead = _deque()
         self._prefetched = None
         self._pipelined_ok = True       # trace-failure kill switch
+        self._warm_started = False      # rare-path precompile ran once
+        self._shutting_down = False
         self._local_map_builder = None  # created on first KF in local_map mode
         self._map_fail_streak = 0       # consecutive weak scan-to-map aligns
         self._map_build_lock = threading.Lock()
@@ -590,6 +602,8 @@ class LidarOdometry(FrontEndBase):
         p.fused_scan_step = bool(g("fused_scan_step", p.fused_scan_step))
         p.pipelined_scan_step = bool(
             g("pipelined_scan_step", p.pipelined_scan_step))
+        p.precompile_rare_paths = bool(
+            g("precompile_rare_paths", p.precompile_rare_paths))
 
         # The three ICP cases (reference :122-128). Each case is a tuple of
         # coarse-to-fine stages (the reference documents ICP_case as a
@@ -845,8 +859,10 @@ class LidarOdometry(FrontEndBase):
                             else:
                                 mm_f, sanity = self._get_filter_step()(
                                     raw_map, tw_arr)
+                            prof.enter("doProcess.align_dispatch")
                             mm, flat = self._get_align_step(kind, use_map)(
                                 mm_f, *targs, sanity)
+                            prof.leave("doProcess.align_dispatch")
                             self._prefetch_next()
                         else:
                             if raw_map is None:  # prefetched, mode now off
@@ -854,7 +870,9 @@ class LidarOdometry(FrontEndBase):
                                     self.generators, obs)
                             mm, flat = self._get_fused_step(kind, use_map)(
                                 raw_map, *targs)
+                        prof.enter("doProcess.readback_wait")
                         flat = np.asarray(flat)  # the single readback
+                        prof.leave("doProcess.readback_wait")
                         prof.leave("doProcess.fused_step")
                         total, finite = float(flat[51]), float(flat[52])
                         if finite < 0.5 or total < 10.0:
@@ -1007,6 +1025,14 @@ class LidarOdometry(FrontEndBase):
             st.last_points = this_points
             st.last_obs_tim = tim
 
+            if (self.params.precompile_rare_paths and not self._warm_started
+                    and this_points is not None):
+                self._warm_started = True
+                self._warm_thread = threading.Thread(
+                    target=self._warm_rare_paths, args=(this_points,),
+                    name="warm_rare_paths", daemon=True)
+                self._warm_thread.start()
+
             create_keyframe = False
 
             if last_points is None:
@@ -1070,6 +1096,69 @@ class LidarOdometry(FrontEndBase):
                 self.check_for_nearby_kfs()
         finally:
             prof.leave("doProcessNewObservation")
+
+    def _warm_rare_paths(self, mm: MetricMap) -> None:
+        """Background-compile the rare production programs on throwaway
+        inputs shaped exactly like production (``precompile_rare_paths``).
+
+        Runs once, off the scan pipeline, right after the first scan: by
+        the time a weak corner triggers the s2s fallback retry, a gate
+        failure switches to the without-vel align kind, or the first
+        nearby/LC batch fires, their programs are already compiled (in
+        process AND in the persistent cache). Each warm call dispatches
+        once on garbage data and discards the result; a few hundred ms
+        of early chip time instead of a measured ~28 s online stall per
+        rare path (remote TPU compiler)."""
+        try:
+            eyeR = jnp.eye(3, dtype=jnp.float32)
+            zt = jnp.zeros(3, jnp.float32)
+            use_map = self.params.odometry_reference == "local_map"
+
+            def batch(stages, k, tag):
+                to_b = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (k, *x.shape)), mm)
+                gRs = jnp.broadcast_to(eyeR, (k, 3, 3))
+                gts = jnp.zeros((k, 3), jnp.float32)
+                (to_b, gRs, gts), from_d = self._dp_shard(
+                    (to_b, gRs, gts), mm)
+                np.asarray(_get_packed_batch_align(stages)(
+                    to_b, from_d, gRs, gts))
+                self.log.debug("warmed %s", tag)
+
+            # s2s fallback retry + per-pair nearby fallback (packed align)
+            for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
+                np.asarray(_get_packed_align(self.icp_cases[kind])(
+                    mm, mm, eyeR, zt))
+            # nearby-KF batch + loop-closure Monte-Carlo batch
+            batch(self._nearby_stages(),
+                  self._dp_pad(max(1, self.params.max_nearby_align_checks)),
+                  "nearby_batch")
+            batch(self.icp_cases[AlignKind.LOOP_CLOSURE],
+                  self._dp_pad(self.params.loop_closure_montecarlo_samples),
+                  "lc_montecarlo")
+            # without-vel pipelined align (fires on the scan after any
+            # gate failure); for map mode, wait for the map to exist
+            if self.params.pipelined_scan_step:
+                tgt = mm
+                if use_map:
+                    import time as _time
+                    for _ in range(240):
+                        if (self.state.local_map is not None
+                                or self._shutting_down):
+                            break
+                        _time.sleep(0.25)
+                    tgt = self.state.local_map
+                if tgt is not None:
+                    step = self._get_align_step(AlignKind.NEARBY_ALIGN,
+                                                use_map)
+                    _, flat = step(mm, tgt, eyeR, zt,
+                                   jnp.zeros(6, jnp.float32),
+                                   eyeR, zt, jnp.float32(0.1),
+                                   jnp.zeros(2, jnp.float32))
+                    np.asarray(flat)
+            self.log.info("rare-path programs precompiled")
+        except Exception:  # noqa: BLE001 — warmup must never hurt the run
+            self.log.warning("rare-path precompile failed", exc_info=True)
 
     def _prefetch_next(self) -> None:
         """Dispatch the NEXT queued scan's generators + filter while the
@@ -1922,5 +2011,6 @@ class LidarOdometry(FrontEndBase):
         return abandoned
 
     def shutdown(self) -> None:
+        self._shutting_down = True
         self._pipeline_pool.shutdown(wait=True)
         self._nearby_pool.shutdown(wait=True)

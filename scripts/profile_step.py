@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--azimuth", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--config", default="realtime")
+    ap.add_argument("--override", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="extra module param overrides on top of --config "
+                         "(same syntax as run_accuracy)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -84,7 +88,8 @@ def main():
 
     over = REALTIME if args.config == "realtime" else ()
     cfg = build_cfg(deskew=True, scale=args.azimuth / 2048,
-                    local_map=args.config != "s2s", overrides=over)
+                    local_map=args.config != "s2s",
+                    overrides=tuple(over) + tuple(args.override))
     module = build_module(cfg, backend=InMemoryBackend())
 
     # warm replay: compiles land, the rolling map + twist state build up

@@ -76,6 +76,7 @@ def _inloop_cfg(enabled: bool):
                                 "src_layer": "raw", "tgt_layer": "raw"}}],
     }
     return {"params": {
+        "precompile_rare_paths": False,
         "pointcloud_generator": [
             {"class": "GeneratorRawPoints",
              "params": {"capacity": 2048, "keep_time": True}}],

@@ -204,6 +204,10 @@ def odom_test_cfg(**over):
                                 "src_layer": "raw", "tgt_layer": "raw"}}],
     }
     params = {
+        # tests opt OUT of the background rare-path precompile: it would
+        # add 4+ CPU compiles to every module build for programs most
+        # tests never run (test_warm_rare_paths_* re-enables it)
+        "precompile_rare_paths": False,
         "min_time_between_scans": 0.01,
         "min_dist_xyz_between_keyframes": 3.0,
         "min_icp_goodness": 0.3,

@@ -84,3 +84,21 @@ class TestPipelinedScanStep:
         assert stats.get("doProcess.prefetch_ingest") is None
         assert m.state.last_kf is not None
         m.shutdown()
+
+
+def test_warm_rare_paths_compiles_without_error(seq, caplog):
+    """precompile_rare_paths: the background warm thread must finish
+    cleanly (compiling the s2s fallback, without-vel, nearby-batch and
+    LC-MC programs) and must not perturb the replay."""
+    m = build_module(odom_test_cfg(precompile_rare_paths=True))
+    for o in seq[0]:
+        m.on_new_observation(o)
+    m.drain()
+    assert m._warm_started
+    t = getattr(m, "_warm_thread", None)
+    assert t is not None
+    t.join(timeout=300)
+    assert not t.is_alive()
+    m.shutdown()
+    assert not any("rare-path precompile failed" in r.message
+                   for r in caplog.records)
