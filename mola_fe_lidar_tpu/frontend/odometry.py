@@ -30,6 +30,7 @@ Pipeline parity map (reference line refs in comments):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -143,6 +144,40 @@ def _get_packed_align(stages: tuple):
 
 
 # -- host-side pose helpers (numpy; graph bookkeeping stays off-device) ----
+
+@functools.lru_cache(maxsize=None)
+def _decim_sel(n: int, keep: int) -> np.ndarray:
+    """Fixed hash-decorrelated subsample indices (sorted for gather
+    locality). A permutation SLICE, never ``[:keep]`` of the input order
+    — layer buffers are voxel/azimuth-sorted and an order slab is a
+    spatial slab (CLAUDE.md invariant)."""
+    return np.sort(np.random.default_rng(0xD15CA7E).permutation(n)[:keep])
+
+
+def _decimate_layers(mm: MetricMap, k: int) -> MetricMap:
+    """1/k hash-stratified subsample of every layer (unbatched clouds).
+
+    Capacities stay 256-bucketed; layers at/below 256 are kept whole.
+    Masked slots sampled in contribute weight 0 downstream — the mask
+    rides along, so the subsample is unbiased for paired-ratio stats."""
+    if k <= 1:
+        return mm
+    out = {}
+    for name, pc in mm.items():
+        n = pc.capacity
+        keep = max(256, (n // k) // 256 * 256)
+        if keep >= n:
+            out[name] = pc
+            continue
+        sel = jnp.asarray(_decim_sel(n, keep))
+        out[name] = pc._replace(
+            xyz=jnp.take(pc.xyz, sel, axis=-2),
+            mask=jnp.take(pc.mask, sel, axis=-1),
+            attrs={a: (jnp.take(v, sel, axis=-1) if v.ndim == pc.mask.ndim
+                       else jnp.take(v, sel, axis=-2))
+                   for a, v in pc.attrs.items()})
+    return out
+
 
 def _np_pose(p: se3.Pose) -> Tuple[np.ndarray, np.ndarray]:
     # Project the device f32 rotation (~1e-5 orthonormality error from up
@@ -319,6 +354,16 @@ class LidarOdometryParameters:
     # nearby batch (same trade as local_map_cand_knn; requires
     # nearby_cand_k > 0).
     nearby_cand_knn: bool = False
+    # Run nearby-KF checks on 1/k hash-stratified subsamples of every
+    # layer (capacities stay 256-bucketed; the subsample is a fixed
+    # permutation slice, NEVER an input-order slab — CLAUDE.md invariant).
+    # The nearby edge only needs a relative pose + goodness for a
+    # σ=0.10 m factor: half-density support raises its cm-level noise by
+    # ~√2 while the batch's NN work drops ~k² (src AND tgt shrink) —
+    # the batch is the scan pipeline's main chip-queue rival. Loop
+    # closures keep full density (the MC wide-basin search wants the
+    # whole support). 1 = off.
+    nearby_decimate: int = 1
     # Apply the truncating levers (max_match_distance, max_iterations) only
     # to the WITH-velocity-prior align case (AlignKind.LIDAR_ODOMETRY).
     # Cold-start / post-outage scans dispatch the without-vel case
@@ -580,6 +625,7 @@ class LidarOdometry(FrontEndBase):
         p.nearby_max_iterations = int(
             g("nearby_max_iterations", p.nearby_max_iterations))
         p.nearby_cand_knn = bool(g("nearby_cand_knn", p.nearby_cand_knn))
+        p.nearby_decimate = int(g("nearby_decimate", p.nearby_decimate))
         p.local_map_cand_motion_trans = float(
             g("local_map_cand_motion_trans", p.local_map_cand_motion_trans))
         p.local_map_cand_motion_rot = float(
@@ -1114,13 +1160,14 @@ class LidarOdometry(FrontEndBase):
             zt = jnp.zeros(3, jnp.float32)
             use_map = self.params.odometry_reference == "local_map"
 
-            def batch(stages, k, tag):
+            def batch(stages, k, tag, src=None):
+                src = mm if src is None else src
                 to_b = jax.tree.map(
-                    lambda x: jnp.broadcast_to(x, (k, *x.shape)), mm)
+                    lambda x: jnp.broadcast_to(x, (k, *x.shape)), src)
                 gRs = jnp.broadcast_to(eyeR, (k, 3, 3))
                 gts = jnp.zeros((k, 3), jnp.float32)
                 (to_b, gRs, gts), from_d = self._dp_shard(
-                    (to_b, gRs, gts), mm)
+                    (to_b, gRs, gts), src)
                 np.asarray(_get_packed_batch_align(stages)(
                     to_b, from_d, gRs, gts))
                 self.log.debug("warmed %s", tag)
@@ -1129,10 +1176,12 @@ class LidarOdometry(FrontEndBase):
             for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
                 np.asarray(_get_packed_align(self.icp_cases[kind])(
                     mm, mm, eyeR, zt))
-            # nearby-KF batch + loop-closure Monte-Carlo batch
+            # nearby-KF batch (decimated shapes, as production dispatches
+            # it) + loop-closure Monte-Carlo batch
             batch(self._nearby_stages(),
                   self._dp_pad(max(1, self.params.max_nearby_align_checks)),
-                  "nearby_batch")
+                  "nearby_batch",
+                  src=_decimate_layers(mm, self.params.nearby_decimate))
             batch(self.icp_cases[AlignKind.LOOP_CLOSURE],
                   self._dp_pad(self.params.loop_closure_montecarlo_samples),
                   "lc_montecarlo")
@@ -1796,6 +1845,9 @@ class LidarOdometry(FrontEndBase):
         if not clouds:
             return
         k_real = len(clouds)
+        dec = self.params.nearby_decimate
+        cur_pc = _decimate_layers(cur_pc, dec)
+        clouds = [_decimate_layers(c, dec) for c in clouds]
         k_pad = self._dp_pad(max(1, self.params.max_nearby_align_checks))
         while len(clouds) < k_pad:
             clouds.append(clouds[0])
@@ -1909,12 +1961,15 @@ class LidarOdometry(FrontEndBase):
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
             min_goodness = p.min_icp_goodness_lc
         else:
-            # same patched stages as the batch path (_nearby_stages applies
-            # the candidate cache) so the per-pair fallback makes identical
-            # edge decisions (review finding)
+            # same patched stages + decimation as the batch path
+            # (_nearby_stages applies the candidate cache) so the per-pair
+            # fallback makes identical edge decisions (review finding)
+            dec = self.params.nearby_decimate
             out = self.run_one_icp(ICPInput(
                 align_kind=AlignKind.NEARBY_ALIGN, to_id=other_kf, from_id=cur_kf,
-                to_pc=oth_pc, from_pc=cur_pc, init_guess_to_wrt_from=init,
+                to_pc=_decimate_layers(oth_pc, dec),
+                from_pc=_decimate_layers(cur_pc, dec),
+                init_guess_to_wrt_from=init,
                 debug_str="nearby"), stages=self._nearby_stages())
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
             min_goodness = p.min_icp_goodness

@@ -700,3 +700,66 @@ class TestImportSideEffects:
         r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            text=True, timeout=560)
         assert r.returncode == 0, r.stderr[-2000:]
+
+
+class TestNearbyDecimate:
+    """nearby_decimate: hash-stratified 1/k layer subsample for the
+    nearby-KF batch (the scan pipeline's main chip-queue rival)."""
+
+    def test_decimate_layers_shapes_and_uniformity(self):
+        import numpy as np
+        from mola_fe_lidar_tpu.cloud import from_points
+        from mola_fe_lidar_tpu.frontend.odometry import _decimate_layers
+
+        rng = np.random.default_rng(3)
+        # x-sorted input (the voxel-sort order): a slab subsample would
+        # truncate high-x — the hash subsample must keep the full range
+        pts = np.sort(rng.uniform(-50, 50, (2048, 3)).astype(np.float32),
+                      axis=0)
+        t = np.linspace(0, 1, 2048).astype(np.float32)
+        mm = {"decimated": from_points(pts, capacity=2048,
+                                       attrs={"time": t})}
+        out = _decimate_layers(mm, 2)
+        pc = out["decimated"]
+        assert pc.capacity == 1024  # 256-bucketed half
+        assert pc.attrs["time"].shape[0] == 1024
+        kept = np.asarray(pc.xyz)[np.asarray(pc.mask) > 0.5]
+        # spatial coverage: kept x-range spans nearly the full input range
+        assert kept[:, 0].min() < -45 and kept[:, 0].max() > 45
+        # identity for k=1 and for tiny layers
+        assert _decimate_layers(mm, 1) is mm
+        small = {"edges": from_points(pts[:200], capacity=256)}
+        assert _decimate_layers(small, 2)["edges"].capacity == 256
+
+    def test_decimated_nearby_align_recovers_pose(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from mola_fe_lidar_tpu.cloud import from_points
+        from mola_fe_lidar_tpu.geometry import se3
+        from mola_fe_lidar_tpu.models import (
+            ICPParams, Matcher, PairWeights, Quality, Solver, align)
+        from mola_fe_lidar_tpu.frontend.odometry import _decimate_layers
+
+        rng = np.random.default_rng(5)
+        from test_icp import structured_world
+        world = structured_world(rng)
+        true = se3.from_xyz_ypr(0.5, -0.3, 0.05, 0.04, 0.0, 0.01)
+        src_pts = np.array(se3.transform(se3.inverse(true),
+                                         jnp.asarray(world)))
+        src = {"decimated": from_points(src_pts, capacity=2048)}
+        tgt = {"decimated": from_points(world, capacity=2048)}
+        params = ICPParams(
+            max_iterations=40,
+            matchers=(Matcher(kind="point2point", distance_threshold=2.0,
+                              src_layer="decimated",
+                              tgt_layer="decimated"),),
+            solver=Solver(kind="horn"),
+            weights=PairWeights(use_scale_outlier_detector=False),
+            quality=(Quality(threshold_distance=0.3, src_layer="decimated",
+                             tgt_layer="decimated"),),
+        )
+        res = align(_decimate_layers(src, 2), _decimate_layers(tgt, 2),
+                    se3.identity(), params)
+        d = se3.log(se3.compose(res.pose, se3.inverse(true)))
+        assert float(jnp.linalg.norm(d[:3])) < 2e-2
+        assert float(res.quality) > 0.8
