@@ -485,19 +485,53 @@ def bench_scaling(rng):
             return align_pipeline(src, tn, g, stg)
         return run_one
 
+    # "prod" = the production map-align operating point at the same shapes
+    # (VERDICT r4 #7): target normals PRECOMPUTED outside the timed region
+    # (production attaches them once per map rebuild, not per align) and
+    # the candidate cache on (cand_k as the realtime preset runs it). The
+    # plain rows keep normals attachment in-loop for r2/r3 continuity —
+    # they deliberately UNDERSTATE production throughput at 8k+.
+    from mola_fe_lidar_tpu.models.icp import _CAND_KINDS, _CAND_KNN_KINDS
+    stages_prod = tuple(
+        dataclasses.replace(
+            s,
+            matchers=tuple(
+                dataclasses.replace(
+                    m, cand_k=(4 if m.kind in _CAND_KINDS
+                               else max(4, m.knn + 3)
+                               if m.kind in _CAND_KNN_KINDS else 0))
+                for m in s.matchers),
+            quality=tuple(dataclasses.replace(q, max_points=8192)
+                          for q in s.quality))
+        for s in stages)
+
+    def run_prod(src, tn, g):
+        # tn already carries precomputed normals (outside the timing)
+        return align_pipeline(src, tn, g, stages_prod)
+
     # ONE jit dispatcher per stage set caches all shape specializations
     fns = {"default": jax.jit(jax.vmap(make_run(stages))),
-           "pallas": jax.jit(jax.vmap(make_run(stages_pallas)))}
+           "pallas": jax.jit(jax.vmap(make_run(stages_pallas))),
+           "prod": jax.jit(jax.vmap(run_prod))}
+    attach = jax.jit(jax.vmap(
+        lambda t: {"raw": _attach_normals_knn(t["raw"].xyz, t["raw"].mask, 8)}))
     grid = [("default", 2048, 16), ("default", 2048, 64),
             ("default", 2048, 256), ("default", 8192, 16),
             ("default", 32768, 4),
+            ("prod", 8192, 16), ("prod", 32768, 4),
             ("pallas", 8192, 16), ("pallas", 32768, 4)]
     for backend, n, batch in grid:
         pairs = make_pairs(rng, batch, n, tau_sigma=0.05)
         srcs, tgts, taus = _stack_pairs(pairs, n)
         init = se3.identity((batch,))
         try:
-            res, dt = _timed(lambda: fns[backend](srcs, tgts, init), iters=5)
+            if backend == "prod":
+                tn = attach(tgts)
+                jax.block_until_ready(tn)
+                res, dt = _timed(lambda: fns["prod"](srcs, tn, init), iters=5)
+            else:
+                res, dt = _timed(lambda: fns[backend](srcs, tgts, init),
+                                 iters=5)
             rows.append({"cloud": n, "batch": batch, "backend": backend,
                          "pairs_per_sec": round(batch / dt, 1),
                          "max_err_m": round(max(_pose_errors(res, taus)), 4)})

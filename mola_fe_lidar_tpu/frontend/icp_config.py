@@ -118,6 +118,14 @@ def icp_params_from_config(cfg: Dict[str, Any]) -> ICPParams:
     if not qualities:
         qualities.append(Quality(src_layer=matchers[0].src_layer,
                                  tgt_layer=matchers[0].tgt_layer))
+    if not any(q.weight > 0.0 or q.required_min > 0.0 for q in qualities):
+        # all-zero weights with no gates would make _quality() return 1.0
+        # unconditionally (models/icp.py:519) — a config typo (weight: 0
+        # without requiredMin) would silently accept every align
+        raise ValueError(
+            "quality config has no evaluator with weight>0 or requiredMin>0 "
+            "— every align would score a perfect 1.0; give at least one "
+            "evaluator a positive weight or a requiredMin gate")
 
     return ICPParams(
         max_iterations=int(p.get("maxIterations", 100)),

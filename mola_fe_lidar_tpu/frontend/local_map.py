@@ -238,6 +238,69 @@ def _device_build(layers, poses_R, poses_t, kf_valid, res, out_caps):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("out_caps",))
+def _device_build_hash(layers, poses_R, poses_t, kf_valid, res, out_caps):
+    """Sort-free aggregate build: voxel dedup via one hash-table
+    scatter-min instead of an 80k-row lexicographic device sort.
+
+    Per layer: world-transform, spatial-hash each point's voxel cell into
+    a power-of-two table of ≥4× the output capacity, ``scatter-min`` the
+    flattened row index (slot order is oldest-keyframe-first, so the
+    minimum implements the same oldest-wins dedup as the sort build),
+    then compact occupied table slots to capacity. Slot order is the
+    hash — pseudo-random in space — so the over-capacity truncation is
+    hash-uniform, never a spatial slab (CLAUDE.md invariant).
+
+    Differences vs :func:`_device_build` (measured ATE-neutral on the
+    500-scan HDL-64 replay, docs/accuracy.md): two *different* voxels
+    that collide in the table keep only one point (expected loss
+    n_vox²/2T ≈ a few % at 4× headroom), and within a voxel the kept
+    point is the oldest keyframe's first row in scan order rather than
+    in voxel-sort order. TPU cost: one 82k-element scatter + cumsum
+    compaction, ~7× cheaper than the lex-sort build (209 → ~30 ms/KF
+    on v5e) — the map rebuild leaves the 10 Hz scan budget entirely.
+    """
+    from ..filters.pipeline import _compact
+
+    BIG = jnp.iinfo(jnp.int32).max
+    out = {}
+    caps = dict(out_caps)
+    for name, (xyz, mask, attrs) in layers.items():
+        W, C, _ = xyz.shape
+        world = jnp.einsum("wij,wnj->wni", poses_R, xyz,
+                           precision="highest") + poses_t[:, None, :]
+        m = (mask * kf_valid[:, None]).reshape(W * C)
+        flat = world.reshape(W * C, 3)
+        cap = caps[name]
+        T = 1 << max(int(cap * 4 - 1).bit_length(), 8)
+        cell = jnp.floor(flat / res).astype(jnp.int32)
+        h = ((cell[:, 0] * np.int32(73856093))
+             ^ (cell[:, 1] * np.int32(19349663))
+             ^ (cell[:, 2] * np.int32(83492791)))
+        slot = jnp.bitwise_and(h, T - 1)
+        pri = jnp.where(m > 0.5,
+                        jax.lax.broadcasted_iota(jnp.int32, (W * C, 1), 0)[:, 0],
+                        BIG)
+        table = jnp.full((T,), BIG, jnp.int32).at[slot].min(
+            pri, mode="drop", indices_are_sorted=False, unique_indices=False)
+        occ = table < BIG
+        rowidx = jnp.where(occ, table, 0)
+        pts = jnp.take(flat, rowidx, axis=0)
+        a_names = sorted(k for k in attrs if k != "time")
+        avals = []
+        for k in a_names:
+            a = attrs[k]
+            if k == "normal":
+                a = jnp.einsum("wij,wnj->wni", poses_R, a,
+                               precision="highest")
+            avals.append(jnp.take(a.reshape(W * C, a.shape[-1]),
+                                  rowidx, axis=0))
+        mk, pts, *vals = _compact(occ.astype(jnp.float32), cap, pts, *avals)
+        pts = jnp.where(mk[:, None] > 0.5, pts, 1e6)
+        out[name] = PointCloud(pts, mk, dict(zip(a_names, vals)))
+    return out
+
+
 class DeviceLocalMap:
     """Drop-in :class:`LocalMap` variant whose build runs on device.
 
@@ -246,14 +309,21 @@ class DeviceLocalMap:
     aggregate lives in HBM and is consumed directly by the fused scan step.
     Transient (multi-view) suppression is not implemented here; the
     front-end falls back to the host builder when ``local_map_min_views > 1``.
+
+    ``mode="sort"`` is the exact lex-sort dedup; ``mode="hash"`` the
+    sort-free scatter build (see :func:`_device_build_hash`).
     """
 
     def __init__(self, window: int = 10, capacity_mult=4,
-                 dedup_voxel: float = 0.25, keep_layers=None):
+                 dedup_voxel: float = 0.25, keep_layers=None,
+                 mode: str = "sort"):
         self.window = int(window)
         self.capacity_mult = capacity_mult
         self.dedup_voxel = float(dedup_voxel)
         self.keep_layers = set(keep_layers) if keep_layers is not None else None
+        if mode not in ("sort", "hash"):
+            raise ValueError(f"unknown DeviceLocalMap mode {mode!r}")
+        self.mode = mode
         self._kfs: Deque[Tuple[Dict, Tuple[np.ndarray, np.ndarray]]] = deque(
             maxlen=self.window)
         self._caps: Dict[str, int] = {}
@@ -314,5 +384,6 @@ class DeviceLocalMap:
                 {k: jnp.stack([pc.attrs[k] for pc in pcs]) for k in keys},
             )
         out_caps = tuple(sorted((n, self._caps[n]) for n in names))
-        return _device_build(layers, poses_R, poses_t, kf_valid,
-                             jnp.float32(self.dedup_voxel), out_caps)
+        build = _device_build_hash if self.mode == "hash" else _device_build
+        return build(layers, poses_R, poses_t, kf_valid,
+                     jnp.float32(self.dedup_voxel), out_caps)

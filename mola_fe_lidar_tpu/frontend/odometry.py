@@ -202,6 +202,35 @@ class LidarOdometryParameters:
     min_rotation_between_keyframes: float = 30.0 * DEG2RAD
     min_icp_goodness: float = 0.4
     min_icp_goodness_lc: float = 0.6
+    # Auto-calibrate the loop-closure goodness gate from OBSERVED data
+    # (YAML: `min_icp_goodness_lc: auto`). The absolute paired-ratio a
+    # correct alignment reaches depends on scene pairing density (sensor,
+    # environment, filter caps): the reference's fixed 0.70 is calibrated
+    # for real-KITTI density and accepts zero true closures at the HDL-64
+    # simulator's density (true-LC band 0.57-0.61 on the relap route),
+    # while a fixed sim value would be wrong on denser data. Nearby-KF
+    # aligns run in the SAME single-pair pairing-density regime on the
+    # same map, so the distribution of ACCEPTED nearby goodness is an
+    # online estimate of "what a correct non-adjacent alignment scores
+    # here"; the gate tracks its lower quartile (x0.9 margin, clipped to
+    # [0.40, 0.75], needing >= 8 samples — below that the numeric value
+    # applies). False-accept safety does NOT ride on this scalar: the
+    # discriminative edges-layer requiredMin veto (icp-settings-loop-
+    # closure.yaml) is the mechanism that rejects aliased basins.
+    min_icp_goodness_lc_auto: bool = False
+    # Scan-vs-SUBMAP loop closure (beyond reference parity; the reference
+    # aligns single KF pairs only, reference src/LidarOdometry.cpp:645-669,
+    # :746-849). K > 0 aligns the CURRENT keyframe against an aggregate of
+    # the CANDIDATE keyframe and its <=K-topo-distance graph neighbors
+    # (built with the DeviceLocalMap machinery, in the candidate's frame).
+    # Reverse-direction revisits are where this matters: a single scan
+    # pair caps at ~0.3 paired ratio (each viewpoint sees facade sides the
+    # other doesn't), but keyframes BEYOND the candidate along its pass
+    # saw the back sides the reverse-direction current scan sees — the
+    # multi-view aggregate contains both, lifting the pairing ceiling.
+    # 0 = reference-parity single-pair LC.
+    lc_submap_keyframes: int = 0
+    lc_submap_capacity_mult: int = 2
     min_dist_to_matching: float = 6.0
     max_dist_to_matching: float = 12.0
     max_dist_to_loop_closure: float = 30.0
@@ -286,7 +315,14 @@ class LidarOdometryParameters:
     # decisions, factors, nearby-KF and loop-closure logic are unchanged.
     odometry_reference: str = "last_scan"
     local_map_keyframes: int = 10
-    local_map_capacity_mult: int = 4     # map layer cap = scan cap x this
+    # map layer cap = scan cap x this; an int applies uniformly, a
+    # {layer: mult} dict sizes layers independently (unlisted layers get
+    # mult 1). The matcher target layers (planes/edges) want the full
+    # aggregate density; a layer only used as the quality reference can
+    # ride lower IF min_icp_goodness is recalibrated to the thinner
+    # target (the paired-ratio scale tracks target density — see
+    # nearby_decimate docs for the measured failure).
+    local_map_capacity_mult: Any = 4
     local_map_dedup_voxel: float = 0.25  # [m] dedup pitch; keep BELOW the
     # quality thresholdDistance or the paired-ratio KF gate deflates
     local_map_reseed_after: int = 10     # consecutive weak map aligns before
@@ -354,15 +390,20 @@ class LidarOdometryParameters:
     # nearby batch (same trade as local_map_cand_knn; requires
     # nearby_cand_k > 0).
     nearby_cand_knn: bool = False
-    # Run nearby-KF checks on 1/k hash-stratified subsamples of every
-    # layer (capacities stay 256-bucketed; the subsample is a fixed
-    # permutation slice, NEVER an input-order slab — CLAUDE.md invariant).
-    # The nearby edge only needs a relative pose + goodness for a
-    # σ=0.10 m factor: half-density support raises its cm-level noise by
-    # ~√2 while the batch's NN work drops ~k² (src AND tgt shrink) —
-    # the batch is the scan pipeline's main chip-queue rival. Loop
-    # closures keep full density (the MC wide-basin search wants the
-    # whole support). 1 = off.
+    # Run nearby-KF checks on 1/k hash-stratified subsamples of the
+    # SOURCE-side layers only (capacities stay 256-bucketed; the
+    # subsample is a fixed permutation slice, NEVER an input-order slab —
+    # CLAUDE.md invariant). The nearby edge only needs a relative pose +
+    # goodness for a σ=0.10 m factor: 1/k source support raises its
+    # cm-level noise by ~√k while the batch's NN row count drops ~k.
+    # The TARGET side (the current KF's cloud) keeps FULL density: the
+    # paired-ratio quality scale depends on target density — squeezing a
+    # quality target to scan density deflated goodness 0.82 -> 0.63 and
+    # misfired the weak-align gate on 133/500 scans (measured on the map
+    # target; same mechanism) — so decimating the target would silently
+    # shift every goodness below an uncalibrated min_icp_goodness. Loop
+    # closures keep full density on both sides (the MC wide-basin search
+    # wants the whole support). 1 = off.
     nearby_decimate: int = 1
     # Apply the truncating levers (max_match_distance, max_iterations) only
     # to the WITH-velocity-prior align case (AlignKind.LIDAR_ODOMETRY).
@@ -394,6 +435,10 @@ class LidarOdometryParameters:
     # latency). The reference's 20-inner operating point is on the
     # accuracy-latency frontier.
     local_map_gn_inner: int = 0
+    # DeviceLocalMap build algorithm: "sort" = exact lex-sort voxel dedup;
+    # "hash" = sort-free scatter-min dedup (~7x cheaper on TPU, loses a
+    # few % of points to hash collisions — see local_map._device_build_hash)
+    local_map_build_mode: str = "sort"
     # Build the rolling-map aggregate ON DEVICE (local_map.DeviceLocalMap):
     # keyframe layers stay as the fixed-capacity device arrays the fused
     # step produced, and the transform→dedup→compact build is one jitted
@@ -531,6 +576,10 @@ class LidarOdometry(FrontEndBase):
         # (for one-obs lookahead) + the prefetched (timestamp, mm, sanity)
         from collections import deque as _deque
         self._lookahead = _deque()
+        # accepted nearby-align goodness history — the observable the
+        # auto loop-closure gate calibrates against (same single-pair
+        # pairing-density regime; see min_icp_goodness_lc_auto docs)
+        self._nearby_goodness = _deque(maxlen=64)
         self._prefetched = None
         self._pipelined_ok = True       # trace-failure kill switch
         self._warm_started = False      # rare-path precompile ran once
@@ -557,7 +606,17 @@ class LidarOdometry(FrontEndBase):
             p.min_rotation_between_keyframes = yaml_get(
                 c, "min_rotation_between_keyframes", deg_to_rad=True)
         p.min_icp_goodness = float(g("min_icp_goodness", p.min_icp_goodness))
-        p.min_icp_goodness_lc = float(g("min_icp_goodness_lc", p.min_icp_goodness_lc))
+        lc_gate = g("min_icp_goodness_lc", p.min_icp_goodness_lc)
+        if isinstance(lc_gate, str) and lc_gate.strip().lower() == "auto":
+            p.min_icp_goodness_lc_auto = True  # numeric default = fallback
+        else:
+            p.min_icp_goodness_lc = float(lc_gate)
+        p.min_icp_goodness_lc_auto = bool(
+            g("min_icp_goodness_lc_auto", p.min_icp_goodness_lc_auto))
+        p.lc_submap_keyframes = int(
+            g("lc_submap_keyframes", p.lc_submap_keyframes))
+        p.lc_submap_capacity_mult = int(
+            g("lc_submap_capacity_mult", p.lc_submap_capacity_mult))
         p.min_dist_to_matching = float(g("min_dist_to_matching", p.min_dist_to_matching))
         p.max_dist_to_matching = float(g("max_dist_to_matching", p.max_dist_to_matching))
         p.max_dist_to_loop_closure = float(
@@ -596,8 +655,10 @@ class LidarOdometry(FrontEndBase):
                 f"got {p.odometry_reference!r}")
         p.local_map_keyframes = int(
             g("local_map_keyframes", p.local_map_keyframes))
-        p.local_map_capacity_mult = int(
-            g("local_map_capacity_mult", p.local_map_capacity_mult))
+        cm = g("local_map_capacity_mult", p.local_map_capacity_mult)
+        p.local_map_capacity_mult = (
+            {str(k): int(v) for k, v in cm.items()} if isinstance(cm, dict)
+            else int(cm))
         p.local_map_dedup_voxel = float(
             g("local_map_dedup_voxel", p.local_map_dedup_voxel))
         p.local_map_reseed_after = int(
@@ -633,6 +694,12 @@ class LidarOdometry(FrontEndBase):
         p.local_map_gn_inner = int(g("local_map_gn_inner", p.local_map_gn_inner))
         p.local_map_device_build = bool(
             g("local_map_device_build", p.local_map_device_build))
+        p.local_map_build_mode = str(
+            g("local_map_build_mode", p.local_map_build_mode))
+        if p.local_map_build_mode not in ("sort", "hash"):
+            raise ValueError(
+                f"local_map_build_mode must be sort|hash, "
+                f"got {p.local_map_build_mode!r}")
         p.local_map_min_views = int(
             g("local_map_min_views", p.local_map_min_views))
         p.local_map_transient_voxel = float(
@@ -1160,31 +1227,51 @@ class LidarOdometry(FrontEndBase):
             zt = jnp.zeros(3, jnp.float32)
             use_map = self.params.odometry_reference == "local_map"
 
-            def batch(stages, k, tag, src=None):
+            def batch(stages, k, tag, src=None, tgt=None):
+                if self._shutting_down:
+                    return
                 src = mm if src is None else src
+                tgt = mm if tgt is None else tgt
                 to_b = jax.tree.map(
                     lambda x: jnp.broadcast_to(x, (k, *x.shape)), src)
                 gRs = jnp.broadcast_to(eyeR, (k, 3, 3))
                 gts = jnp.zeros((k, 3), jnp.float32)
                 (to_b, gRs, gts), from_d = self._dp_shard(
-                    (to_b, gRs, gts), src)
+                    (to_b, gRs, gts), tgt)
                 np.asarray(_get_packed_batch_align(stages)(
                     to_b, from_d, gRs, gts))
                 self.log.debug("warmed %s", tag)
 
-            # s2s fallback retry + per-pair nearby fallback (packed align)
+            # s2s fallback retry (packed align, unpatched stages)
             for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
+                if self._shutting_down:
+                    return
                 np.asarray(_get_packed_align(self.icp_cases[kind])(
                     mm, mm, eyeR, zt))
-            # nearby-KF batch (decimated shapes, as production dispatches
-            # it) + loop-closure Monte-Carlo batch
+            # per-pair nearby fallback: _check_non_adjacent dispatches the
+            # cand_k-patched _nearby_stages() on a DECIMATED src against
+            # the full-density target — a different static key than the
+            # unpatched program above, so it needs its own warm dispatch
+            dec_mm = _decimate_layers(mm, self.params.nearby_decimate)
+            if not self._shutting_down:
+                np.asarray(_get_packed_align(self._nearby_stages())(
+                    dec_mm, mm, eyeR, zt))
+            # nearby-KF batch (decimated src vs full target, as production
+            # dispatches it) + loop-closure Monte-Carlo batch
             batch(self._nearby_stages(),
                   self._dp_pad(max(1, self.params.max_nearby_align_checks)),
-                  "nearby_batch",
-                  src=_decimate_layers(mm, self.params.nearby_decimate))
+                  "nearby_batch", src=dec_mm, tgt=mm)
             batch(self.icp_cases[AlignKind.LOOP_CLOSURE],
                   self._dp_pad(self.params.loop_closure_montecarlo_samples),
                   "lc_montecarlo")
+            # scan-vs-submap LC: both the submap build program and the
+            # larger-target MC align are distinct static shapes
+            if self.params.lc_submap_keyframes > 0 and not self._shutting_down:
+                b = self._lc_submap_builder()
+                b.add_keyframe(mm, (np.eye(3), np.zeros(3)))
+                batch(self.icp_cases[AlignKind.LOOP_CLOSURE],
+                      self._dp_pad(self.params.loop_closure_montecarlo_samples),
+                      "lc_submap", tgt=b.build())
             # without-vel pipelined align (fires on the scan after any
             # gate failure); for map mode, wait for the map to exist
             if self.params.pipelined_scan_step:
@@ -1662,39 +1749,7 @@ class LidarOdometry(FrontEndBase):
             # st.local_map when done — scanning continues against the
             # previous map (at most one keyframe stale, window >= 10).
             if self._local_map_builder is None:
-                from .local_map import DeviceLocalMap, LocalMap
-                # every targeted layer gets the full map density — matcher
-                # targets because sparse targets misregister, and quality
-                # targets because the paired-ratio scale depends on target
-                # density: squeezing the quality layer to scan density
-                # deflated goodness 0.82 -> 0.63 and misfired the weak-
-                # align gate on 133/500 scans (measured). Quality costs
-                # ONE NN pass per align (models/icp.py evaluates it once,
-                # post-loop), so density there is nearly free.
-                keep = set()
-                for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
-                    for stage in self.icp_cases.get(kind, ()):
-                        for mt in stage.matchers:
-                            keep.add(mt.tgt_layer)
-                        for q in stage.quality:
-                            keep.add(q.tgt_layer)
-                if (self.params.local_map_device_build
-                        and self.params.local_map_min_views <= 1):
-                    self._local_map_builder = DeviceLocalMap(
-                        window=self.params.local_map_keyframes,
-                        capacity_mult=self.params.local_map_capacity_mult,
-                        dedup_voxel=self.params.local_map_dedup_voxel,
-                        keep_layers=keep or None)
-                else:
-                    self._local_map_builder = LocalMap(
-                        window=self.params.local_map_keyframes,
-                        capacity_mult=self.params.local_map_capacity_mult,
-                        dedup_voxel=self.params.local_map_dedup_voxel,
-                        keep_layers=keep or None,
-                        transient_min_views=self.params.local_map_min_views,
-                        transient_protect_recent=self.params.local_map_protect_recent,
-                        transient_voxel=(self.params.local_map_transient_voxel
-                                         or None))
+                self._local_map_builder = self._make_map_builder()
             self._local_map_builder.add_keyframe(
                 points, (st.world_R, st.world_t))
             if st.local_map is None or not self.params.local_map_async_build:
@@ -1846,7 +1901,9 @@ class LidarOdometry(FrontEndBase):
             return
         k_real = len(clouds)
         dec = self.params.nearby_decimate
-        cur_pc = _decimate_layers(cur_pc, dec)
+        # src side only — the target (cur_pc) keeps full density so the
+        # paired-ratio goodness scale matches the min_icp_goodness
+        # calibration (see the nearby_decimate parameter docs)
         clouds = [_decimate_layers(c, dec) for c in clouds]
         k_pad = self._dp_pad(max(1, self.params.max_nearby_align_checks))
         while len(clouds) < k_pad:
@@ -1911,6 +1968,167 @@ class LidarOdometry(FrontEndBase):
                 for s in stages)
         return stages
 
+    def _lc_gate(self) -> float:
+        """Loop-closure goodness gate — fixed, or auto-calibrated from the
+        accepted nearby-align goodness distribution on the same map (see
+        ``min_icp_goodness_lc_auto`` parameter docs)."""
+        p = self.params
+        if not p.min_icp_goodness_lc_auto:
+            return p.min_icp_goodness_lc
+        vals = list(self._nearby_goodness)
+        if len(vals) < 8:
+            return p.min_icp_goodness_lc  # not enough evidence yet
+        gate = float(np.clip(0.9 * np.quantile(vals, 0.25), 0.40, 0.75))
+        self.log.debug("auto LC gate: %.3f (from %d nearby accepts)",
+                       gate, len(vals))
+        return gate
+
+    def _make_map_builder(self):
+        """A fresh rolling-map builder at the module's configuration.
+
+        Every targeted layer gets the full map density — matcher targets
+        because sparse targets misregister, and quality targets because
+        the paired-ratio scale depends on target density: squeezing the
+        quality layer to scan density deflated goodness 0.82 -> 0.63 and
+        misfired the weak-align gate on 133/500 scans (measured). Quality
+        costs ONE NN pass per align (models/icp.py evaluates it once,
+        post-loop), so density there is nearly free."""
+        from .local_map import DeviceLocalMap, LocalMap
+
+        keep = set()
+        for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
+            for stage in self.icp_cases.get(kind, ()):
+                for mt in stage.matchers:
+                    keep.add(mt.tgt_layer)
+                for q in stage.quality:
+                    keep.add(q.tgt_layer)
+        if (self.params.local_map_device_build
+                and self.params.local_map_min_views <= 1):
+            return DeviceLocalMap(
+                window=self.params.local_map_keyframes,
+                capacity_mult=self.params.local_map_capacity_mult,
+                dedup_voxel=self.params.local_map_dedup_voxel,
+                keep_layers=keep or None,
+                mode=self.params.local_map_build_mode)
+        return LocalMap(
+            window=self.params.local_map_keyframes,
+            capacity_mult=self.params.local_map_capacity_mult,
+            dedup_voxel=self.params.local_map_dedup_voxel,
+            keep_layers=keep or None,
+            transient_min_views=self.params.local_map_min_views,
+            transient_protect_recent=self.params.local_map_protect_recent,
+            transient_voxel=(self.params.local_map_transient_voxel
+                             or None))
+
+    def warm_start(self, obs: RawObservation) -> float:
+        """Compile/load every PRIMARY per-scan program before the online
+        pipeline starts, shaped by a sample observation (VERDICT r4 #6).
+
+        The reference front-end is ahead-of-time-compiled C++ — its first
+        scan runs at full speed. Through the remote TPU compiler our
+        primary programs (filter, the four align kinds x target modes, the
+        map build) otherwise compile at FIRST USE, stalling the online
+        pipeline for minutes of time-to-first-good-pose. This method runs
+        each of them once on the sample scan (values are irrelevant,
+        static shapes are what compile) and discards all results; with the
+        persistent compile cache (utils/compile_cache.py, on by default in
+        the runner) a warm disk cache turns every compile into a load and
+        the whole call takes seconds. Returns the wall seconds spent.
+
+        Rare-path programs (s2s fallback, nearby/LC batches) stay on the
+        background ``precompile_rare_paths`` thread — they are not needed
+        for the first scans.
+        """
+        import time as _time
+
+        t0 = _time.monotonic()
+        raw = apply_generators(self.generators, obs)
+        tw = jnp.zeros(6, jnp.float32)
+        eyeR = jnp.eye(3, dtype=jnp.float32)
+        zt = jnp.zeros(3, jnp.float32)
+        use_map = self.params.odometry_reference == "local_map"
+        mm, sanity = self._get_filter_step()(raw, tw)
+        np.asarray(sanity)
+        targets = [(False, mm)]
+        if use_map:
+            b = self._make_map_builder()
+            b.add_keyframe(mm, (np.eye(3), np.zeros(3)))
+            tgt = b.build()  # warms the map-build program too
+            np.asarray(next(iter(tgt.values())).mask.sum())
+            targets.append((True, tgt))
+        for for_map, tgt in targets:
+            for kind in (AlignKind.LIDAR_ODOMETRY, AlignKind.NEARBY_ALIGN):
+                args = (tgt, eyeR, zt, tw, eyeR, zt, jnp.float32(0.1))
+                if self.params.pipelined_scan_step:
+                    _, flat = self._get_align_step(kind, for_map)(
+                        mm, *args, sanity)
+                else:
+                    _, flat = self._get_fused_step(kind, for_map)(
+                        raw, *args)
+                np.asarray(flat)
+        dt = _time.monotonic() - t0
+        self.log.info("warm_start: primary programs ready in %.1f s", dt)
+        return dt
+
+    def _lc_submap_builder(self):
+        """A fresh DeviceLocalMap configured for the LC submap target —
+        shared by the production build and the warm-up (the keep-layer set
+        and window must match exactly or the warmed program shape differs
+        from the production one)."""
+        from .local_map import DeviceLocalMap
+
+        p = self.params
+        keep = set()
+        for stage in self.icp_cases[AlignKind.LOOP_CLOSURE]:
+            for mt in stage.matchers:
+                keep.add(mt.tgt_layer)
+            for q in stage.quality:
+                keep.add(q.tgt_layer)
+        return DeviceLocalMap(
+            window=2 * p.lc_submap_keyframes + 1,  # fixed slots: one shape
+            capacity_mult=p.lc_submap_capacity_mult,
+            dedup_voxel=p.local_map_dedup_voxel,
+            keep_layers=keep or None,
+            mode=p.local_map_build_mode)
+
+    def _build_lc_submap(self, center_kf: int) -> Optional[MetricMap]:
+        """Multi-keyframe loop-closure target: aggregate the candidate
+        keyframe and its ``lc_submap_keyframes``-topo-distance graph
+        neighbors in the candidate's frame (``lc_submap_keyframes`` docs;
+        beyond reference parity — the reference fetches single stored KF
+        clouds only, reference src/LidarOdometry.cpp:645-669)."""
+        p = self.params
+        st = self.state
+        wm = self.worldmodel
+        if wm is None:
+            return None
+        K = p.lc_submap_keyframes
+        with self._state_lock:
+            try:
+                poses, topo = st.local_pose_graph.dijkstra_nodes_estimate(
+                    center_kf)
+            except Exception:  # noqa: BLE001 — detached node etc.
+                return None
+        picks = [center_kf]
+        for d, n in sorted((topo.get(n, 10**9), n) for n in poses
+                           if n != center_kf):
+            if d > K or len(picks) >= 2 * K + 1:
+                break
+            picks.append(n)
+        builder = self._lc_submap_builder()
+        n_added = 0
+        for n in picks:
+            pc = wm.annotation(n, ANNOTATION_NAME_PC_LAYERS)
+            if pc is None:
+                continue
+            R, t = ((np.eye(3), np.zeros(3)) if n == center_kf
+                    else poses[n])  # pose of n in the candidate's frame
+            builder.add_keyframe(pc, (R, t))
+            n_added += 1
+        if n_added == 0:
+            return None
+        return builder.build()
+
     def _check_non_adjacent_safe(self, kind, cur_kf, other_kf, R_, t_):
         try:
             self._check_non_adjacent(kind, cur_kf, other_kf, R_, t_)
@@ -1947,19 +2165,37 @@ class LidarOdometry(FrontEndBase):
             # on a data mesh the sample count rounds UP to fill every
             # device lane — extra Monte-Carlo coverage, not padding waste
             n_mc = self._dp_pad(p.loop_closure_montecarlo_samples)
-            guesses = monte_carlo_guesses(
-                jax.random.key(mc_seed), init, n_mc, sigma_xyz, sigma_rot)
             lc_stages = self.icp_cases[AlignKind.LOOP_CLOSURE]
+            submap = (self._build_lc_submap(other_kf)
+                      if p.lc_submap_keyframes > 0 else None)
+            if submap is not None:
+                # scan-vs-submap: align the CURRENT scan (src, one lane
+                # per MC guess) onto the multi-keyframe aggregate around
+                # the candidate (tgt, candidate frame); the guess is the
+                # pose of current in the candidate's frame
+                Ri, ti = se3_np.inverse((np.asarray(R_, float),
+                                         np.asarray(t_, float)))
+                center = _jx_pose(Ri, ti)
+                src_pc, tgt_pc = cur_pc, submap
+            else:
+                center, src_pc, tgt_pc = init, oth_pc, cur_pc
+            guesses = monte_carlo_guesses(
+                jax.random.key(mc_seed), center, n_mc, sigma_xyz, sigma_rot)
             to_batch = jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (n_mc, *x.shape)), oth_pc)
-            (to_batch, gR, gt_), cur_pc_d = self._dp_shard(
-                (to_batch, guesses.R, guesses.t), cur_pc)
+                lambda x: jnp.broadcast_to(x, (n_mc, *x.shape)), src_pc)
+            (to_batch, gR, gt_), tgt_d = self._dp_shard(
+                (to_batch, guesses.R, guesses.t), tgt_pc)
             flats = np.asarray(_get_packed_batch_align(lc_stages)(
-                to_batch, cur_pc_d, gR, gt_))
+                to_batch, tgt_d, gR, gt_))
             best = int(np.argmax(flats[:, 48]))
             out = _unpack_icp_result(flats[best])
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
-            min_goodness = p.min_icp_goodness_lc
+            if submap is not None:
+                # result maps current -> candidate; the factor/edge wants
+                # the pose of the candidate in the current KF's frame
+                Rn, tn = se3_np.inverse(_np_pose(pose))
+                pose = _jx_pose(Rn, tn)
+            min_goodness = self._lc_gate()
         else:
             # same patched stages + decimation as the batch path
             # (_nearby_stages applies the candidate cache) so the per-pair
@@ -1968,7 +2204,7 @@ class LidarOdometry(FrontEndBase):
             out = self.run_one_icp(ICPInput(
                 align_kind=AlignKind.NEARBY_ALIGN, to_id=other_kf, from_id=cur_kf,
                 to_pc=_decimate_layers(oth_pc, dec),
-                from_pc=_decimate_layers(cur_pc, dec),
+                from_pc=cur_pc,  # target keeps full density (goodness scale)
                 init_guess_to_wrt_from=init,
                 debug_str="nearby"), stages=self._nearby_stages())
             goodness, pose = out.goodness, out.found_pose_to_wrt_from
@@ -1984,7 +2220,7 @@ class LidarOdometry(FrontEndBase):
         st = self.state
         wm = self.worldmodel
         if min_goodness is None:
-            min_goodness = (p.min_icp_goodness_lc if kind == "lc"
+            min_goodness = (self._lc_gate() if kind == "lc"
                             else p.min_icp_goodness)
         # acceptance gate (reference :794-816) — host math in numpy
         Rp, tp_ = _np_pose(pose)
@@ -2003,6 +2239,9 @@ class LidarOdometry(FrontEndBase):
             self.log.info("%s rejected: KF %s <-> %s goodness=%.2f corr=%.2fm",
                           kind, cur_kf, other_kf, goodness, corr)
             return
+        if kind == "nearby":
+            # evidence stream for the auto loop-closure gate (_lc_gate)
+            self._nearby_goodness.append(float(goodness))
 
         Rn, tn = _np_pose(pose)
         f = FactorRelativePose3(kf_from=cur_kf, kf_to=other_kf, rel_pose=pose)
@@ -2069,3 +2308,14 @@ class LidarOdometry(FrontEndBase):
         self._shutting_down = True
         self._pipeline_pool.shutdown(wait=True)
         self._nearby_pool.shutdown(wait=True)
+        # join the warm thread (bounded): letting a daemon thread die
+        # mid-dispatch at interpreter exit wedges the next process's TPU
+        # claim for minutes (CLAUDE.md environment notes); the warm loop
+        # checks _shutting_down between dispatches, so this returns after
+        # at most one in-flight program
+        wt = getattr(self, "_warm_thread", None)
+        if wt is not None and wt.is_alive():
+            wt.join(timeout=120.0)
+            if wt.is_alive():
+                self.log.warning(
+                    "warm-up thread still running after 120 s join timeout")

@@ -77,6 +77,11 @@ DEFAULT_CFG = {"params": {
 
 
 def build_module(cfg: Optional[dict], backend=None, worldmodel=None):
+    # AOT-compilation parity with the reference's C++ (VERDICT r4 #6):
+    # every runner-built module gets the persistent compile cache unless
+    # the application configured its own (see utils/compile_cache.py)
+    from ..utils.compile_cache import enable_default_compile_cache
+    enable_default_compile_cache()
     cfg = cfg or {}
     cls_name = cfg.get("module", "LidarOdometry")
     module = MODULE_REGISTRY.get(cls_name)()
@@ -120,7 +125,7 @@ def per_scan_trajectory(backend, kf_poses):
 
 def run_replay(observations, cfg: Optional[dict] = None,
                gt_poses=None, realtime: bool = False, pgo: bool = False,
-               pgo_robust: str = "none"):
+               pgo_robust: str = "none", warm_start: bool = False):
     """Replay ``observations`` through the front-end.
 
     ``pgo=True`` additionally runs the device-resident pose-graph
@@ -128,9 +133,17 @@ def run_replay(observations, cfg: Optional[dict] = None,
     ``OptimizingBackend`` — the mola-slam-gtsam analogue) and reports
     ``*_pgo`` metric rows computed from the globally optimized keyframe
     poses instead of the Dijkstra spanning-tree estimate.
+
+    ``warm_start=True`` compiles the primary per-scan programs on the
+    first observation BEFORE the replay clock starts (the online
+    deployment pattern: warm at startup from the first sensor packet);
+    the time spent is reported separately as ``warm_s``.
     """
     backend = OptimizingBackend()
     module = build_module(cfg, backend=backend)
+    warm_s = None
+    if warm_start and hasattr(observations, "__len__") and observations:
+        warm_s = module.warm_start(observations[0])
     # steady-state online rate: drain the pipeline once after the first few
     # scans (where the jit compiles land) and time the remainder separately.
     # scans_per_sec (wall incl. compiles) answers "how long did the replay
@@ -165,6 +178,10 @@ def run_replay(observations, cfg: Optional[dict] = None,
     wall = t_end - t0
     steady = ((n_total - warmup) / max(t_end - t_steady, 1e-9)
               if t_steady is not None and n_total > warmup else None)
+    # time-to-steady: replay start -> the warmup barrier clearing (first
+    # `warmup` scans fully processed, all primary compiles landed); with
+    # warm_start the cold-start story is warm_s + wall_to_steady_s
+    wall_to_steady = (t_steady - t0) if t_steady is not None else None
 
     kf_poses = estimated_trajectory(module)
     kf_pgo = (backend.optimized_poses(robust=pgo_robust)
@@ -180,6 +197,8 @@ def run_replay(observations, cfg: Optional[dict] = None,
         # post-warmup throughput (first-compile cost excluded); None when
         # the replay is too short to split
         "scans_per_sec_steady": steady,
+        "wall_to_steady_s": wall_to_steady,
+        "warm_s": warm_s,
         "kf_poses": kf_poses,
         "backend": backend,
         "module": module,

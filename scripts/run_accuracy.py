@@ -175,8 +175,19 @@ REALTIME = (
     "local_map_max_iterations=15",
     "local_map_cand_knn=true",
     "local_map_nn_backend=mxu",
-    "nearby_max_iterations=25",
     "nearby_cand_knn=true",
+    # round-5 levers (per-program profile, scripts/profile_step.py):
+    # quality subsample 8192->2048 cut the align step 85->61 ms (the
+    # paired-ratio stays an unbiased mean, +-~0.02 noise vs gates at
+    # 0.50 with map goodness ~0.83); the sort-free hash map build cut
+    # the per-KF rebuild 209->~90 ms; nearby batches at 15 outer
+    # iterations + 1/2-density SOURCE support (target density kept:
+    # the goodness scale rides on it) cut the scan pipeline's main
+    # chip-queue rival 183->119 ms.
+    "local_map_quality_max_points=2048",
+    "local_map_build_mode=hash",
+    "nearby_max_iterations=15",
+    "nearby_decimate=2",
 )
 
 
@@ -207,6 +218,11 @@ def main():
     ap.add_argument("--override", action="append", default=[],
                     metavar="KEY=VALUE",
                     help="set a module param in every config (JSON value)")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="compile the primary per-scan programs on the "
+                         "first observation BEFORE the replay clock starts "
+                         "(the online-deployment startup pattern); the "
+                         "time is recorded separately as warm_s")
     ap.add_argument("--pgo", action="store_true",
                     help="also run the device pose-graph optimizer over the "
                          "factor stream and record *_pgo metric rows")
@@ -245,6 +261,22 @@ def main():
 
     import jax
     device = jax.default_backend()
+
+    # host<->device round-trip floor of THIS testbed (the axon tunnel is
+    # ~25-30 ms; a local PCIe TPU would be <1 ms). Each scan pays exactly
+    # one readback on the pipelined path, so the tunnel-adjusted steady
+    # rate (1/(1/steady - rtt)) estimates what the same pipeline does on
+    # production-attached hardware. Both raw and adjusted are recorded.
+    import jax.numpy as jnp
+    _tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(_tiny(jnp.zeros(1)))  # compile outside the timing
+    _rtts = []
+    for _ in range(30):
+        _t0 = time.perf_counter()
+        np.asarray(_tiny(jnp.zeros(1)))
+        _rtts.append(time.perf_counter() - _t0)
+    rtt_s = min(_rtts)
+    print(f"device round-trip floor: {rtt_s * 1e3:.1f} ms", file=sys.stderr)
 
     t0 = time.perf_counter()
     cache = (Path("/tmp") / f"hdl64_{args.scans}_{args.azimuth}_"
@@ -289,10 +321,11 @@ def main():
                                            "realtime"),
                         overrides=over)
         res = run_replay(obs, cfg, gt_poses=gt, pgo=args.pgo,
-                         pgo_robust=args.pgo_robust)
+                         pgo_robust=args.pgo_robust,
+                         warm_start=args.warm_start)
         row = {k: res[k] for k in (
             "n_scans", "n_keyframes", "n_factors", "wall_s", "n_scan_poses",
-            "jobs_abandoned",
+            "jobs_abandoned", "wall_to_steady_s", "warm_s",
             "ate_rmse", "rpe_trans", "rpe_rot",
             "ate_rmse_scan", "rpe_trans_scan", "rpe_rot_scan",
             "kitti_t_rel_pct", "kitti_r_rel_deg_per_m", "kitti_segments",
@@ -301,6 +334,11 @@ def main():
         row["scans_per_sec"] = res["n_scans"] / max(res["wall_s"], 1e-9)
         if res.get("scans_per_sec_steady"):
             row["scans_per_sec_steady"] = res["scans_per_sec_steady"]
+            row["tunnel_rtt_ms"] = round(rtt_s * 1e3, 2)
+            per_scan = 1.0 / res["scans_per_sec_steady"]
+            if per_scan > rtt_s:
+                row["scans_per_sec_steady_tunnel_adj"] = 1.0 / (
+                    per_scan - rtt_s)
         # loop-closure audit (VERDICT r3 #2): count = checks, total = accepts
         pstats = res["module"].profiler.stats()
         for kind in ("lc", "nearby"):

