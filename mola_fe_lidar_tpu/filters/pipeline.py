@@ -228,7 +228,8 @@ class FilterEdgesPlanes:
                  eigen_noise_floor=None,
                  edges_capacity=2048, planes_capacity=4096,
                  decimated_capacity: Optional[int] = None,
-                 max_voxels=None, edge_min_verticality=0.6):
+                 max_voxels=None, edge_min_verticality=0.6,
+                 stats_mode="segment"):
         # max_voxels=None sizes the voxel-stats table to the input point
         # count — occupied voxels can never exceed it, so the table NEVER
         # overflows. A manual cap trades compute for coverage: overflowing
@@ -255,6 +256,13 @@ class FilterEdgesPlanes:
         self.max_voxels = None if max_voxels is None else int(max_voxels)
         # reject near-horizontal line voxels (ground scan rings); 0 disables
         self.edge_min_verticality = float(edge_min_verticality)
+        # "segment" = per-voxel tables via segment_sum (exact legacy path);
+        # "scan" = per-point stats via segmented prefix sums
+        # (cloud/voxel.py::voxel_stats_scan — ~8 ms cheaper at 131k rows
+        # on v5e; covariances agree to f32 roundoff, not bitwise)
+        if stats_mode not in ("segment", "scan"):
+            raise ValueError(f"unknown stats_mode {stats_mode!r}")
+        self.stats_mode = str(stats_mode)
 
     def __call__(self, mm: MetricMap) -> MetricMap:
         pc = mm[self.input_layer]
@@ -267,6 +275,7 @@ class FilterEdgesPlanes:
             self.edges_capacity, self.planes_capacity, dec_cap, max_voxels,
             self.edge_min_verticality,
             pc.attrs.get("time"),
+            stats_mode=self.stats_mode,
         )
         mm = dict(mm)
         mm["edges"] = edges
@@ -276,44 +285,60 @@ class FilterEdgesPlanes:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "voxel_decim", "full_decim", "edges_cap", "planes_cap", "dec_cap", "max_voxels"))
+    "voxel_decim", "full_decim", "edges_cap", "planes_cap", "dec_cap",
+    "max_voxels", "stats_mode"))
 def _edges_planes(xyz, mask, res, voxel_decim, full_decim,
                   min_e2_e0, max_e1_e0, min_e1_e0, noise_floor,
                   edges_cap, planes_cap, dec_cap, max_voxels,
-                  edge_min_verticality, tim=None):
+                  edge_min_verticality, tim=None, stats_mode="segment"):
     vs = voxel.lex_sort_by_voxel(xyz, mask, res)
     # per-point sweep-time fractions ride along (sorted by the same order)
     # so downstream in-loop deskew refinement can re-warp the FILTERED
     # layers without re-running this filter
     tim_s = None if tim is None else jnp.take(tim, vs.order, axis=0)
-    st = voxel.voxel_stats(vs, num_segments=max_voxels)
-    evs = eigen3.sym_eigenvalues_3x3(st.cov)
+    if stats_mode == "scan":
+        # per-POINT stats via segmented prefix sums: no per-voxel table,
+        # no scatter-shaped segment_sum, no gather round-trip (masked
+        # tail rows carry garbage stats but vs.mask gates them out)
+        stp = voxel.voxel_stats_scan(vs)
+        st_count, st_cov, st_valid = (
+            stp.count, stp.cov, (stp.count > 0.5).astype(xyz.dtype))
+    else:
+        st = voxel.voxel_stats(vs, num_segments=max_voxels)
+        st_count, st_cov, st_valid = st.count, st.cov, st.valid
+    evs = eigen3.sym_eigenvalues_3x3(st_cov)
     e0 = jnp.maximum(evs[..., 0], noise_floor)
     e1, e2 = jnp.maximum(evs[..., 1], noise_floor), jnp.maximum(evs[..., 2], noise_floor)
-    enough = st.count >= 5.0
-    is_plane = st.valid * enough * (e1 >= min_e1_e0 * e0)
-    is_edge = st.valid * enough * (e2 >= min_e2_e0 * e0) * (e1 <= max_e1_e0 * e0) * (1.0 - is_plane)
+    enough = st_count >= 5.0
+    is_plane = st_valid * enough * (e1 >= min_e1_e0 * e0)
+    is_edge = st_valid * enough * (e2 >= min_e2_e0 * e0) * (e1 <= max_e1_e0 * e0) * (1.0 - is_plane)
     # verticality gate: LiDAR scan RINGS on the ground classify as lines,
     # but rings are sensor-centered artifacts that move WITH the sensor —
     # matching them drags registration toward zero motion (measured: a
     # +0.3 m/scan systematic undershoot, 98% of edge points were rings).
     # Real edge features (poles, building corners) are near-vertical.
-    line_dir = eigen3.largest_eigenvector_3x3(st.cov, evs)
+    line_dir = eigen3.largest_eigenvector_3x3(st_cov, evs)
     is_edge = is_edge * (jnp.abs(line_dir[..., 2]) >= edge_min_verticality)
-    normals = eigen3.smallest_eigenvector_3x3(st.cov, evs)
+    normals = eigen3.smallest_eigenvector_3x3(st_cov, evs)
     # planarity score in [0,1]: 1 - e0/e1 (sharp planes → 1)
     planarity = jnp.clip(1.0 - e0 / jnp.maximum(e1, 1e-9), 0.0, 1.0)
 
-    seg = voxel.voxel_segments(vs, max_voxels)
-    seg_c = jnp.minimum(seg, max_voxels - 1)
-    # points whose voxel overflowed max_voxels must NOT inherit the last
-    # real voxel's classification — they carry no stats and are dropped
-    # (size max_voxels generously; see the filter's docstring)
-    in_stats = (seg < max_voxels).astype(xyz.dtype)
-    pt_plane = jnp.take(is_plane, seg_c) * vs.mask * in_stats
-    pt_edge = jnp.take(is_edge, seg_c) * vs.mask * in_stats
-    pt_normal = jnp.take(normals, seg_c, axis=0)
-    pt_planarity = jnp.take(planarity, seg_c)
+    if stats_mode == "scan":
+        pt_plane = is_plane * vs.mask
+        pt_edge = is_edge * vs.mask
+        pt_normal = normals
+        pt_planarity = planarity
+    else:
+        seg = voxel.voxel_segments(vs, max_voxels)
+        seg_c = jnp.minimum(seg, max_voxels - 1)
+        # points whose voxel overflowed max_voxels must NOT inherit the last
+        # real voxel's classification — they carry no stats and are dropped
+        # (size max_voxels generously; see the filter's docstring)
+        in_stats = (seg < max_voxels).astype(xyz.dtype)
+        pt_plane = jnp.take(is_plane, seg_c) * vs.mask * in_stats
+        pt_edge = jnp.take(is_edge, seg_c) * vs.mask * in_stats
+        pt_normal = jnp.take(normals, seg_c, axis=0)
+        pt_planarity = jnp.take(planarity, seg_c)
 
     # intra-voxel stride: keep every voxel_decim-th point of each voxel
     n = vs.xyz.shape[0]

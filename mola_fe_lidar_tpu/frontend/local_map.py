@@ -239,17 +239,23 @@ def _device_build(layers, poses_R, poses_t, kf_valid, res, out_caps):
 
 
 @functools.partial(jax.jit, static_argnames=("out_caps",))
-def _device_build_hash(layers, poses_R, poses_t, kf_valid, res, out_caps):
+def _device_build_hash(layers, poses_R, poses_t, kf_valid, res, out_caps,
+                       ranks=None, inv_ranks=None):
     """Sort-free aggregate build: voxel dedup via one hash-table
     scatter-min instead of an 80k-row lexicographic device sort.
 
     Per layer: world-transform, spatial-hash each point's voxel cell into
-    a power-of-two table of ≥4× the output capacity, ``scatter-min`` the
-    flattened row index (slot order is oldest-keyframe-first, so the
-    minimum implements the same oldest-wins dedup as the sort build),
-    then compact occupied table slots to capacity. Slot order is the
-    hash — pseudo-random in space — so the over-capacity truncation is
-    hash-uniform, never a spatial slab (CLAUDE.md invariant).
+    a power-of-two table of ≥4× the output capacity, ``scatter-min`` an
+    age-ordered priority (``ranks[w]*C + row`` — the minimum implements
+    the same oldest-wins dedup as the sort build), then compact occupied
+    table slots to capacity. Slot order is the hash — pseudo-random in
+    space — so the over-capacity truncation is hash-uniform, never a
+    spatial slab (CLAUDE.md invariant).
+
+    ``ranks``/``inv_ranks`` (i32[W], inverse permutations) order the W
+    stacked slots by keyframe age for the incremental ring-buffer path
+    (slot index no longer equals age order after wrap-around); omitted =
+    slots are already oldest-first.
 
     Differences vs :func:`_device_build` (measured ATE-neutral on the
     500-scan HDL-64 replay, docs/accuracy.md): two *different* voxels
@@ -257,8 +263,8 @@ def _device_build_hash(layers, poses_R, poses_t, kf_valid, res, out_caps):
     n_vox²/2T ≈ a few % at 4× headroom), and within a voxel the kept
     point is the oldest keyframe's first row in scan order rather than
     in voxel-sort order. TPU cost: one 82k-element scatter + cumsum
-    compaction, ~7× cheaper than the lex-sort build (209 → ~30 ms/KF
-    on v5e) — the map rebuild leaves the 10 Hz scan budget entirely.
+    compaction vs the lex-sort build's 209 ms/KF on v5e — the map
+    rebuild leaves the 10 Hz scan budget entirely.
     """
     from ..filters.pipeline import _compact
 
@@ -278,13 +284,21 @@ def _device_build_hash(layers, poses_R, poses_t, kf_valid, res, out_caps):
              ^ (cell[:, 1] * np.int32(19349663))
              ^ (cell[:, 2] * np.int32(83492791)))
         slot = jnp.bitwise_and(h, T - 1)
-        pri = jnp.where(m > 0.5,
-                        jax.lax.broadcasted_iota(jnp.int32, (W * C, 1), 0)[:, 0],
-                        BIG)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (W, C), 1)
+        if ranks is None:
+            pri_all = (jax.lax.broadcasted_iota(jnp.int32, (W, C), 0) * C
+                       + row_iota)
+        else:
+            pri_all = ranks[:, None] * C + row_iota
+        pri = jnp.where(m > 0.5, pri_all.reshape(W * C), BIG)
         table = jnp.full((T,), BIG, jnp.int32).at[slot].min(
             pri, mode="drop", indices_are_sorted=False, unique_indices=False)
         occ = table < BIG
-        rowidx = jnp.where(occ, table, 0)
+        win = jnp.where(occ, table, 0)
+        if inv_ranks is None:
+            rowidx = win
+        else:  # priority -> (rank, row) -> flat slot-major row index
+            rowidx = jnp.take(inv_ranks, win // C) * C + win % C
         pts = jnp.take(flat, rowidx, axis=0)
         a_names = sorted(k for k in attrs if k != "time")
         avals = []
@@ -328,6 +342,18 @@ class DeviceLocalMap:
             maxlen=self.window)
         self._caps: Dict[str, int] = {}
         self._lock = threading.Lock()
+        # incremental ring buffer (hash mode): the W keyframe layers stay
+        # STACKED on device ({name: (xyz[W,C,3], mask[W,C], attrs)}) and
+        # add_keyframe updates ONE slot (a W*C-row device copy) instead of
+        # build() restacking all W entries every keyframe — the restack
+        # was ~half the measured build latency. slot = seq % W; the build
+        # passes age ranks so oldest-wins dedup survives wrap-around.
+        self._ring = None
+        self._ring_slot_seq = np.full(self.window, -1, np.int64)
+        self._ring_poses_R = np.tile(np.eye(3, dtype=np.float32),
+                                     (self.window, 1, 1))
+        self._ring_poses_t = np.zeros((self.window, 3), np.float32)
+        self._seq = 0
 
     def __len__(self) -> int:
         return len(self._kfs)
@@ -335,6 +361,37 @@ class DeviceLocalMap:
     def entries(self):
         with self._lock:
             return list(self._kfs)
+
+    def _ring_update(self, layers: Dict) -> None:
+        """Fold one keyframe's layers into the device-stacked ring."""
+        attrs_of = lambda pc: {k: pc.attrs[k] for k in sorted(pc.attrs)
+                               if k != "time"}
+        if self._ring is not None:
+            ok = set(self._ring) == set(layers) and all(
+                self._ring[n][0].shape[1:] == layers[n].xyz.shape
+                and set(self._ring[n][2]) == set(attrs_of(layers[n]))
+                for n in layers)
+            if not ok:  # layer structure changed: restart the ring
+                self._ring = None
+                self._ring_slot_seq.fill(-1)
+        slot = self._seq % self.window
+        if self._ring is None:
+            W = self.window
+            self._ring = {
+                n: (jnp.broadcast_to(pc.xyz, (W, *pc.xyz.shape)),
+                    jnp.zeros((W, pc.mask.shape[0]), pc.mask.dtype),
+                    {k: jnp.broadcast_to(v, (W, *v.shape))
+                     for k, v in attrs_of(pc).items()})
+                for n, pc in layers.items()}
+        ring = {}
+        for n, pc in layers.items():
+            xyz, mask, attrs = self._ring[n]
+            ring[n] = (xyz.at[slot].set(pc.xyz),
+                       mask.at[slot].set(pc.mask),
+                       {k: v.at[slot].set(pc.attrs[k])
+                        for k, v in attrs.items()})
+        self._ring = ring
+        self._ring_slot_seq[slot] = self._seq
 
     def add_keyframe(self, mm: MetricMap,
                      world_pose: Tuple[np.ndarray, np.ndarray]) -> None:
@@ -352,8 +409,34 @@ class DeviceLocalMap:
                 self._caps[name] = _round_up(int(pc.capacity * mult))
         with self._lock:
             self._kfs.append((layers, (R, t)))
+            if self.mode == "hash":
+                slot = self._seq % self.window
+                self._ring_update(layers)
+                self._ring_poses_R[slot] = R
+                self._ring_poses_t[slot] = t
+                self._seq += 1
 
     def build(self, entries=None) -> MetricMap:
+        if entries is None and self.mode == "hash":
+            with self._lock:
+                ring, slot_seq = self._ring, self._ring_slot_seq.copy()
+                poses_R = self._ring_poses_R.copy()
+                poses_t = self._ring_poses_t.copy()
+            if ring is not None:
+                # age ranks: oldest live slot -> rank 0; dead slots last
+                order = np.argsort(np.where(slot_seq < 0,
+                                            np.iinfo(np.int64).max,
+                                            slot_seq))
+                ranks = np.empty(self.window, np.int32)
+                ranks[order] = np.arange(self.window, dtype=np.int32)
+                inv = order.astype(np.int32)
+                kf_valid = (slot_seq >= 0).astype(np.float32)
+                names = sorted(ring)
+                out_caps = tuple(sorted((n, self._caps[n]) for n in names))
+                return _device_build_hash(
+                    ring, jnp.asarray(poses_R), jnp.asarray(poses_t),
+                    jnp.asarray(kf_valid), jnp.float32(self.dedup_voxel),
+                    out_caps, jnp.asarray(ranks), jnp.asarray(inv))
         if entries is None:
             entries = self.entries()
         if not entries:

@@ -184,10 +184,17 @@ REALTIME = (
     # iterations + 1/2-density SOURCE support (target density kept:
     # the goodness scale rides on it) cut the scan pipeline's main
     # chip-queue rival 183->119 ms.
-    "local_map_quality_max_points=2048",
+    # nearby_decimate=2 was TRIED and reverted: the reshaped half-density
+    # batch was measurably slower end-to-end AND cost 0.05 pp t_rel
+    # (500-scan A/B, this file's r5 sweep).
+    "local_map_quality_max_points=1024",
     "local_map_build_mode=hash",
-    "nearby_max_iterations=15",
-    "nearby_decimate=2",
+    "nearby_max_iterations=10",
+    # segmented prefix-sum voxel stats in the ingest filter (index 1 —
+    # FilterDeskew is prepended at 0 in deskew configs): the segment_sum
+    # tables were the filter's largest device cost (~15 ms of the ~40 ms
+    # program at 131k rows; cloud/voxel.py::voxel_stats_scan)
+    "pointcloud_filter.1.params.stats_mode=scan",
 )
 
 

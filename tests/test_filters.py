@@ -120,6 +120,26 @@ class TestEdgesPlanes:
         normals = np.asarray(pc.attrs["normal"])[m]
         assert np.all(np.abs(normals[:, 2]) > 0.99)  # ground normal = ±z
 
+    def test_scan_stats_mode_matches_segment(self, rng):
+        """stats_mode="scan" (segmented prefix-sum stats) classifies the
+        same way as the legacy segment_sum tables — identical layer point
+        SETS up to f32 summation-order effects on boundary voxels."""
+        plane, line, scatter = scene(rng)
+        pts = np.concatenate([plane, line, scatter])
+        mm = {"raw": from_points(pts, capacity=2048)}
+        kw = dict(voxel_filter_resolution=2.0, voxel_filter_decimation=1,
+                  full_pointcloud_decimation=5)
+        a = FilterEdgesPlanes(**kw)(mm)
+        b = FilterEdgesPlanes(stats_mode="scan", **kw)(mm)
+        for layer in ("planes", "edges", "decimated"):
+            pa = {tuple(np.round(p, 4)) for p in to_numpy(a[layer])}
+            pb = {tuple(np.round(p, 4)) for p in to_numpy(b[layer])}
+            union = max(len(pa | pb), 1)
+            jaccard = len(pa & pb) / union
+            assert jaccard > 0.98, (layer, jaccard)
+        # normals ride along in scan mode too
+        assert "normal" in b["planes"].attrs
+
     def test_voxel_stride_decimation(self, rng):
         plane, _, _ = scene(rng, n_plane=1000, n_line=0, n_scatter=0)
         mm = {"raw": from_points(plane, capacity=1024)}
