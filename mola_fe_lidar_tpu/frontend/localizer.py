@@ -55,8 +55,14 @@ def default_localize_params(cell: float = 1.0) -> ICPParams:
     return ICPParams(
         max_iterations=30,
         cand_refresh=4,
-        cand_refresh_min_trans=0.02,
-        cand_refresh_min_rot=0.001,
+        # NO motion-conditional refresh: it froze candidate recruiting on
+        # map queries exactly as the odometry ablation predicted
+        # (docs/accuracy.md) — measured here as 0.1-0.5 m base-query
+        # errors that the gate's own probes (which strip the conditional
+        # refresh) then out-scored from 1 m away, rejecting every query
+        # as "inconsistent". With full block-head refreshes the base
+        # align converges like the probes and the verdict is about the
+        # MAP's ambiguity again, not the solver's.
         matchers=(Matcher(kind="point2point", distance_threshold=cell,
                           nn_backend="auto", cand_k=4),),
         solver=Solver(kind="horn"),
@@ -93,8 +99,8 @@ class MapLocalizer:
                  layer: str = "raw", params: Optional[ICPParams] = None,
                  multi_start: int = 11, start_sigma_xyz: float = 3.0,
                  start_sigma_rot: float = np.deg2rad(5.0),
-                 agree_tol_m: float = 0.3,
-                 agree_tol_rot: float = np.deg2rad(1.0),
+                 agree_tol_m: float = 1.5,
+                 agree_tol_rot: float = np.deg2rad(3.0),
                  alias_quality_ratio: float = 0.7,
                  yaw_probe: float = np.pi / 2,
                  min_quality: float = 0.5,
@@ -104,7 +110,19 @@ class MapLocalizer:
         ``start_sigma_xyz``, sized to the caller's init uncertainty /
         plausible alias distance), probes 9–10 are pure-yaw ±``yaw_probe``
         (city-grid 90° rotational aliasing), further probes are Gaussian.
-        ``alias_quality_ratio`` is the peak-to-second-peak rejection bar."""
+        ``alias_quality_ratio`` is the peak-to-second-peak rejection bar.
+
+        ``agree_tol_m``/``agree_tol_rot`` define "same basin". On a
+        voxel-subsampled map the paired-ratio surface is a PLATEAU at the
+        sub-meter scale (0.5 m map voxel + 0.3 m pairing threshold ⇒
+        re-converged probes scatter ~0.8-1.5 m / 1-2° around the answer
+        with comparable quality — measured, docs/localize_tp.json r5), so
+        the tolerance must cover that scatter; genuine urban aliases sit
+        several meters/90° away. Size ``start_sigma_xyz`` to the CALLER's
+        prior uncertainty: the gate answers "is the pose determined by
+        the data within the prior's support" — probing far beyond the
+        prior asks about basins the prior already excludes, and a sloppy
+        prior (large σ) buys correspondingly wider rival coverage."""
         self.map_capacity = int(map_capacity)
         self.voxel_size = float(voxel_size)
         self.layer = layer
@@ -138,14 +156,29 @@ class MapLocalizer:
         keyframes (round-1 advisor finding: raw scan-order truncation left a
         spatially biased map). On overflow after the global dedup, the kept
         subset is a hash-uniform subsample and a warning is logged.
+
+        Keyframes carrying an ``edges`` layer additionally aggregate a
+        ``map_edges`` layer — the DISCRIMINATIVE quality reference the
+        consistency gate needs: on ground+facade geometry the dense-layer
+        paired ratio is flat-to-spurious under meter-scale shifts
+        (measured: wrong-basin answers score 0.99-1.22x the true pose,
+        docs/localize_tp.json r5 diagnostics), while sparse vertical
+        structure (poles, corners) pairs ONLY near the true pose — the
+        same separation the loop-closure edges veto rides
+        (icp-settings-loop-closure.yaml).
         """
-        pts = []
+        pts, edge_pts = [], []
         for mm, (R, t) in clouds_and_poses:
             layer = mm.get(self.layer) or next(iter(mm.values()))
             local = to_numpy(layer)
-            world_kf = (local @ np.asarray(R, np.float64).T + np.asarray(t))
+            Rf = np.asarray(R, np.float64).T
+            world_kf = (local @ Rf + np.asarray(t))
             pts.append(self._voxel_first_np(world_kf.astype(np.float32),
                                             self.voxel_size))
+            if "edges" in mm:
+                e = to_numpy(mm["edges"]) @ Rf + np.asarray(t)
+                edge_pts.append(self._voxel_first_np(
+                    e.astype(np.float32), self.voxel_size))
         world = np.concatenate(pts).astype(np.float32) if pts else np.zeros((0, 3), np.float32)
         world = self._voxel_first_np(world, self.voxel_size)
         if len(world) > self.map_capacity:
@@ -158,6 +191,15 @@ class MapLocalizer:
             world = world[hash_subsample_np(
                 np.arange(len(world)), self.map_capacity)]
         self._map = {"map": from_points(world, capacity=self.map_capacity)}
+        if edge_pts and len(edge_pts) == len(pts):
+            e = self._voxel_first_np(
+                np.concatenate(edge_pts).astype(np.float32), self.voxel_size)
+            cap = max(256, min(self.map_capacity // 4,
+                               -(-len(e) // 256) * 256))
+            if len(e) > cap:
+                from ..cloud.voxel import hash_subsample_np
+                e = e[hash_subsample_np(np.arange(len(e)), cap)]
+            self._map["map_edges"] = from_points(e, capacity=cap)
 
     def build_from_worldmodel(self, wm: WorldModel,
                               kf_poses: Dict[int, Tuple[np.ndarray, np.ndarray]]) -> None:
@@ -175,14 +217,32 @@ class MapLocalizer:
         return None if self._map is None else self._map["map"]
 
     # -- queries -------------------------------------------------------------
-    def _query_params(self) -> ICPParams:
+    def _query_params(self, with_edges: bool = False) -> ICPParams:
         import dataclasses
         p = self.params
         matchers = tuple(dataclasses.replace(m, src_layer="scan", tgt_layer="map")
                          for m in p.matchers)
         quality = tuple(dataclasses.replace(q, src_layer="scan", tgt_layer="map")
                         for q in p.quality)
+        if with_edges:
+            # discriminative vertical-structure term (same separation as
+            # the loop-closure edges veto): weight 0.5 against the dense
+            # ratio's 1.0 — enough to break the dense plateau's spurious
+            # rivals without letting edge sparsity dominate the score
+            quality = quality + (Quality(
+                kind="paired_ratio", threshold_distance=0.8,
+                src_layer="scan_edges", tgt_layer="map_edges", weight=0.5),)
         return dataclasses.replace(p, matchers=matchers, quality=quality)
+
+    def _query_src(self, scan: MetricMap) -> MetricMap:
+        """Scan layers routed to the query/probe programs: the dense layer
+        always, plus the edges layer when BOTH sides carry one."""
+        layer = scan.get(self.layer) or next(iter(scan.values()))
+        src = {"scan": layer}
+        if (self._map is not None and "map_edges" in self._map
+                and "edges" in scan):
+            src["scan_edges"] = scan["edges"]
+        return src
 
     def localize_raw(self, scan: MetricMap, init_pose: se3.Pose) -> ICPResult:
         """UNGATED single-start query (the r2 behavior). Exists for
@@ -191,11 +251,11 @@ class MapLocalizer:
         the aliased-basin answers this path returns with high quality."""
         if self._map is None:
             raise RuntimeError("MapLocalizer.build() first")
-        layer = scan.get(self.layer) or next(iter(scan.values()))
-        return align({"scan": layer}, self._map, init_pose,
-                     self._query_params())
+        src = self._query_src(scan)
+        return align(src, self._map, init_pose,
+                     self._query_params(with_edges="scan_edges" in src))
 
-    def _probe_stages(self) -> tuple:
+    def _probe_stages(self, with_edges: bool = False) -> tuple:
         """Coarse→fine probe pipeline for the consistency gate.
 
         A probe starts up to ~2σ from the candidate solution, so the first
@@ -208,7 +268,7 @@ class MapLocalizer:
         a full-map NN every iteration instead of every block head.
         """
         import dataclasses
-        fine = self._query_params()
+        fine = self._query_params(with_edges=with_edges)
         fine = dataclasses.replace(
             fine, max_iterations=25,
             cand_refresh_min_trans=0.0, cand_refresh_min_rot=0.0)
@@ -217,7 +277,17 @@ class MapLocalizer:
             fine, max_iterations=25,
             matchers=tuple(dataclasses.replace(m, distance_threshold=wide)
                            for m in fine.matchers))
-        return (coarse, fine)
+        # sharp polish: the mid stage's ~1 m point2point threshold against
+        # a 0.5 m-voxel map recruits everything within a meter, smearing
+        # the optimum — probes converged only to ~1 m scatter and every
+        # query read as "ambiguous". A tight final threshold restores a
+        # sharp basin so re-converged probes actually coincide.
+        sharp = dataclasses.replace(
+            fine, max_iterations=15,
+            matchers=tuple(dataclasses.replace(
+                m, distance_threshold=max(0.35, 0.7 * self.voxel_size))
+                for m in fine.matchers))
+        return (coarse, fine, sharp)
 
     def localize(self, scan: MetricMap, init_pose: se3.Pose,
                  seed: int = 0) -> LocalizeResult:
@@ -255,7 +325,13 @@ class MapLocalizer:
 
         from ..models.icp import align_pipeline
 
-        base = self.localize_raw(scan, init_pose)
+        # the base query runs the SAME coarse→fine pipeline as the probes
+        # (localize_raw's single fine stage from a meters-off init is the
+        # under-converged answer the probes then rightly out-score — see
+        # default_localize_params); one unbatched dispatch
+        src0 = self._query_src(scan)
+        stages0 = self._probe_stages(with_edges="scan_edges" in src0)
+        base = align_pipeline(src0, self._map, init_pose, stages0)
         quality = float(base.quality)
         correction = float(np.linalg.norm(
             np.asarray(base.pose.t) - np.asarray(init_pose.t)))
@@ -278,9 +354,8 @@ class MapLocalizer:
         if k == 1:
             return result("", 1, 0, 0.0, 0.0)
 
-        layer = scan.get(self.layer) or next(iter(scan.values()))
-        src = {"scan": layer}
-        stages = self._probe_stages()
+        src = src0
+        stages = stages0
         leaves, treedef = jax.tree.flatten((src, self._map))
         cache_key = (stages, k, treedef, tuple(x.shape for x in leaves))
         fn = self._batched.get(cache_key)

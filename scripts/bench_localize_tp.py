@@ -82,11 +82,32 @@ def run_localize(args):
 
     # keyframes every 4 scans (~3 m at 8 m/s, the KITTI KF spacing)
     kf_idx = list(range(0, len(obs), 4))
-    loc = MapLocalizer(map_capacity=1 << 17, voxel_size=0.5)
+    # probe star sized to THIS harness's init prior (0.5 m, 2 deg draws):
+    # the rival-basin question is "is the answer determined by the data
+    # GIVEN the prior" — probing far outside the prior's support asks
+    # about aliases the prior already excludes (on urban ground+facade
+    # geometry the dense-layer paired ratio is genuinely flat at 3-6 m
+    # offsets: ground pairs under any horizontal shift, street-parallel
+    # walls under any along-street shift, so far probes always "compete")
+    loc = MapLocalizer(map_capacity=1 << 17, voxel_size=0.5,
+                       start_sigma_xyz=args.start_sigma,
+                       agree_tol_m=args.agree_tol)
+    # edges extraction (FilterEdgesPlanes on each full-res cloud): the
+    # map's discriminative layer — on ground+facade geometry the dense
+    # paired ratio alone cannot separate wrong-basin answers from right
+    # ones (frontend/localizer.py build() docstring)
+    from mola_fe_lidar_tpu.filters.pipeline import FilterEdgesPlanes
+    edge_filter = FilterEdgesPlanes(voxel_filter_resolution=1.0,
+                                    edges_capacity=2048, stats_mode="scan")
+
+    def with_edges(pts_full):
+        mm = {"raw": from_points(pts_full, capacity=1 << 17)}
+        out = edge_filter(mm)
+        return {"raw": mm["raw"], "edges": out["edges"]}
+
     items = []
     for i in kf_idx:
-        pts = _scan_points(obs[i])
-        items.append(({"raw": from_points(pts, capacity=1 << 17)}, gt[i]))
+        items.append((with_edges(_scan_points(obs[i])), gt[i]))
     loc.build(items)
     map_pts = int(np.asarray(loc.map_cloud.mask).sum())
     print(f"map: {map_pts} pts in capacity {loc.map_capacity}", file=sys.stderr)
@@ -97,7 +118,8 @@ def run_localize(args):
     for i in q_idx:
         # from_points hash-subsamples over-capacity input (never a wedge)
         pts = _voxel_first(_scan_points(obs[i]), 0.5)
-        scan = {"raw": from_points(pts, capacity=4096)}
+        scan = {"raw": from_points(pts, capacity=4096),
+                "edges": with_edges(_scan_points(obs[i]))["edges"]}
         R, t = gt[i]
         true = se3.Pose(R=np.asarray(R, np.float32), t=np.asarray(t, np.float32))
         # perturbed init: 0.5 m translation, 2 deg yaw — a realistic prior
@@ -118,9 +140,44 @@ def run_localize(args):
                      "accepted": bool(res.accepted),
                      "reject_reason": res.reject_reason,
                      "n_agree": int(res.n_agree),
+                     "n_compete": int(res.n_compete),
                      "n_starts": int(res.n_starts),
+                     "rival_quality": round(float(res.rival_quality), 4),
+                     "dispersion_m": round(float(res.dispersion_m), 3),
+                     "init_err_m": round(float(np.linalg.norm(
+                         np.asarray(init.t) - np.asarray(true.t))), 3),
                      "correction_m": round(float(res.correction_m), 3)})
         print(json.dumps(rows[-1]), file=sys.stderr)
+
+    # adversarial wrong-basin query: the init is displaced 6 m laterally
+    # (a street-lattice rival distance on this map) and the CALLER
+    # declares a correspondingly sloppy prior (sigma 3 m) — the probe
+    # star then reaches +-2 sigma = the true basin, which out-scores the
+    # aliased answer and must reject with reason "consistency". This is
+    # the recorded counterpart of the r2 failure (3.56 m accepted at
+    # quality 0.80) — the gate's power scales with the declared prior.
+    loc_wide = MapLocalizer(map_capacity=1 << 17, voxel_size=0.5,
+                            start_sigma_xyz=3.0, agree_tol_m=args.agree_tol)
+    loc_wide._map = loc._map  # same aggregated map
+    i = q_idx[0]
+    pts = _voxel_first(_scan_points(obs[i]), 0.5)
+    scan = {"raw": from_points(pts, capacity=4096),
+            "edges": with_edges(_scan_points(obs[i]))["edges"]}
+    R, t = gt[i]
+    true = se3.Pose(R=np.asarray(R, np.float32), t=np.asarray(t, np.float32))
+    delta = se3.exp(np.array([0.0, 6.0, 0.0, 0, 0, 0], np.float32))
+    init = se3.compose(true, delta)
+    res = loc_wide.localize(scan, init)
+    err = float(se3.translation_norm(se3.compose(res.pose, se3.inverse(true))))
+    adversarial = {"scan": int(i), "init_offset_m": 6.0,
+                   "quality": round(float(res.quality), 4),
+                   "trans_err_m": round(err, 4),
+                   "accepted": bool(res.accepted),
+                   "reject_reason": res.reject_reason,
+                   "n_agree": int(res.n_agree),
+                   "n_compete": int(res.n_compete),
+                   "rival_quality": round(float(res.rival_quality), 4)}
+    print(json.dumps({"adversarial": adversarial}), file=sys.stderr)
 
     # raw single-chip align anchors at 32k / 131k target capacity (TP=1)
     anchors = []
@@ -151,7 +208,10 @@ def run_localize(args):
         "map_points": map_pts,
         "map_capacity": loc.map_capacity,
         "scan_capacity": 4096,
+        "probe_star_sigma_m": args.start_sigma,
+        "agree_tol_m": args.agree_tol,
         "queries": rows,
+        "adversarial_query": adversarial,
         "latency_ms_median": round(float(np.median(lat)), 2),
         "trans_err_m_median": round(float(np.median(
             [r["trans_err_m"] for r in rows])), 4),
@@ -236,6 +296,13 @@ def main():
     ap.add_argument("--queries", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--tp-capacity", type=int, default=1 << 15)
+    ap.add_argument("--start-sigma", type=float, default=1.0,
+                    help="probe-star scale [m]; size to ~2x the init "
+                         "prior sigma (see run_localize comment)")
+    ap.add_argument("--agree-tol", type=float, default=1.5,
+                    help="same-basin tolerance [m] for the probe verdict "
+                         "(the localizer default; covers the voxel-plateau "
+                         "re-convergence scatter)")
     args = ap.parse_args()
 
     out = json.loads(OUT.read_text()) if OUT.exists() else {}
