@@ -187,6 +187,14 @@ REALTIME = (
     # nearby_decimate=2 was TRIED and reverted: the reshaped half-density
     # batch was measurably slower end-to-end AND cost 0.05 pp t_rel
     # (500-scan A/B, this file's r5 sweep).
+    # The 0.99->1.04 % block-route t_rel shift that came with the r5
+    # levers is NOT from the two numerics-adjacent knobs: a 500-scan A/B
+    # with quality_max_points=2048 + stats_mode=segment reproduced
+    # t_rel 1.064 % (recorded row in accuracy.json) - if anything
+    # slightly worse. Replays are bit-deterministic (three re-records,
+    # identical ATE/t_rel digits), so the residual suspects are the
+    # hash/ring map build and nearby_max_iterations=10; the KITTI-regime
+    # snake route sits at 0.300 % either way.
     "local_map_quality_max_points=1024",
     "local_map_build_mode=hash",
     "nearby_max_iterations=10",
