@@ -192,9 +192,12 @@ REALTIME = (
     # with quality_max_points=2048 + stats_mode=segment reproduced
     # t_rel 1.064 % (recorded row in accuracy.json) - if anything
     # slightly worse. Replays are bit-deterministic (three re-records,
-    # identical ATE/t_rel digits), so the residual suspects are the
-    # hash/ring map build and nearby_max_iterations=10; the KITTI-regime
-    # snake route sits at 0.300 % either way.
+    # identical ATE/t_rel digits). local_map_build_mode=sort is ALSO
+    # exonerated (A/B row: 1.051 %, PGO 0.897 %) - every r5 preset knob
+    # reproduces ~1.04-1.06 %, so the 0.99->1.04 shift rode in with the
+    # r5 CODE (fused-step/nearby restructuring), not these overrides.
+    # The KITTI-regime snake route sits at 0.300 % either way; the block
+    # circuit's all-corner segments amplify what is a ~5 cm/100 m delta.
     "local_map_quality_max_points=1024",
     "local_map_build_mode=hash",
     "nearby_max_iterations=10",
